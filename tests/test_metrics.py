@@ -1,0 +1,87 @@
+import numpy as np
+import jax.numpy as jnp
+
+from wsss_tpu.eval import metrics
+from wsss_tpu.data import registry
+
+
+def _np_confusion(pred, gt, n, ignore=255):
+    mask = (gt != ignore) & (gt < n)
+    conf = np.zeros((n, n), dtype=np.int64)
+    for g, p in zip(gt[mask].ravel(), pred[mask].ravel()):
+        conf[g, p] += 1
+    return conf
+
+
+def test_confusion_matches_numpy():
+    rng = np.random.default_rng(0)
+    gt = rng.integers(0, 6, size=(4, 17, 17)).astype(np.int32)
+    gt[0, :3] = 255  # ignore region
+    pred = rng.integers(0, 6, size=(4, 17, 17)).astype(np.int32)
+    conf = np.asarray(metrics.confusion_matrix(jnp.asarray(pred),
+                                               jnp.asarray(gt), 6))
+    np.testing.assert_array_equal(conf, _np_confusion(pred, gt, 6))
+
+
+def test_iou_perfect_prediction():
+    gt = np.tile(np.arange(5, dtype=np.int32), (5, 10, 1))
+    conf = metrics.confusion_matrix(jnp.asarray(gt), jnp.asarray(gt), 5)
+    iou, miou = metrics.iou_from_confusion(conf)
+    np.testing.assert_allclose(np.asarray(iou), 1.0)
+    assert float(miou) == 1.0
+
+
+def test_miou_excludes_absent_classes():
+    # class 3 never appears in gt nor pred -> excluded from the mean
+    gt = np.zeros((8, 8), np.int32)
+    pred = np.zeros((8, 8), np.int32)
+    gt[0] = 1
+    pred[0] = 2
+    conf = metrics.confusion_matrix(jnp.asarray(pred), jnp.asarray(gt), 4)
+    iou, miou = metrics.iou_from_confusion(conf)
+    per = np.asarray(iou)
+    assert per[3] == 0.0
+    expected = (per[0] + per[1] + per[2]) / 3
+    np.testing.assert_allclose(float(miou), expected, rtol=1e-6)
+
+
+def test_optimal_thresholds_separable():
+    # class scores perfectly separated at 0.6 -> threshold in (0.4, 0.8)
+    rng = np.random.default_rng(1)
+    n = 400
+    target = (rng.random((n, 3)) > 0.5).astype(np.float32)
+    scores = np.where(target > 0.5,
+                      0.8 + 0.19 * rng.random((n, 3)),
+                      0.4 * rng.random((n, 3))).astype(np.float32)
+    th = np.asarray(metrics.optimal_thresholds(target, scores))
+    assert th.shape == (3,)
+    # any threshold in (max(neg), min(pos)) = (~0.4, 0.8) separates perfectly;
+    # the grid lands on the first point above the max negative score
+    assert np.all(th > 0.39) and np.all(th < 0.81)
+    m = metrics.thresholded_metrics(target, scores, th)
+    assert np.all(m['f1'] > 0.99)
+
+
+def test_batch_f1_perfect():
+    y = np.array([[1, 0, 1], [0, 1, 0]], np.float32)
+    assert float(metrics.batch_f1(jnp.asarray(y), jnp.asarray(y))) > 0.99
+
+
+def test_registry_consistency():
+    voc = registry.get('VOC2012')
+    assert voc.n_seg_classes == 21 and voc.n_fg_classes == 20
+    assert len(voc.palette) == 21
+    morph = registry.get('ADP-morph')
+    assert morph.n_seg_classes == 29
+    assert len(morph.palette) == 29
+    func = registry.get('ADP-func')
+    assert func.n_seg_classes == 5
+    assert func.seg_class_names[:2] == ('Background', 'Other')
+    dg = registry.get('DeepGlobe')
+    assert dg.n_seg_classes == 6 and not dg.has_bg_class
+    maps = registry.adp_index_maps('X1.7')
+    assert maps['morph'].shape[0] == 28
+    assert maps['func'].shape[0] == 3
+    assert maps['x17_to_31'].shape[0] == 31
+    maps_v = registry.adp_index_maps('VGG16')
+    assert maps_v['morph'].shape[0] == 28

@@ -1,0 +1,80 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wsss_tpu.models import (DSRGNet, IRNet, SECNet, VGG16Classifier,
+                             M7Classifier, build_classifier, sp_softmax)
+
+
+def _init_apply(m, x):
+    vs = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda v, x: m.apply(v, x))(vs, x)
+    return vs, out
+
+
+def test_vgg16_classifier_shapes():
+    m = VGG16Classifier(num_classes=20)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, (scores, feats) = _init_apply(m, x)
+    assert scores.shape == (2, 20)
+    assert feats.shape == (2, 8, 8, 1024)  # stride 8
+    assert np.all((np.asarray(scores) >= 0) & (np.asarray(scores) <= 1))
+
+
+def test_m7_classifier_shapes():
+    m = M7Classifier(num_classes=31)
+    x = jnp.zeros((2, 64, 64, 3))
+    _, (scores, feats) = _init_apply(m, x)
+    assert scores.shape == (2, 31)
+    assert feats.shape == (2, 16, 16, 256)  # stride 4 (layer3_p1 grid)
+
+
+def test_build_classifier_dispatch():
+    assert isinstance(build_classifier('X1.7', 51), M7Classifier)
+    assert isinstance(build_classifier('VGG16', 20), VGG16Classifier)
+    with pytest.raises(ValueError):
+        build_classifier('resnet99', 3)
+
+
+def test_sec_dsrg_seed_grid():
+    # 321x321 input must land on the 41x41 seed grid (03a model.py:34-35)
+    x = jnp.zeros((1, 321, 321, 3))
+    for cls in (SECNet, DSRGNet):
+        m = cls(num_classes=21)
+        _, logits = _init_apply(m, x)
+        assert logits.shape == (1, 41, 41, 21), cls.__name__
+    sm = sp_softmax(logits)
+    np.testing.assert_allclose(np.asarray(sm.sum(-1)), 1.0, rtol=1e-5)
+    assert float(sm.min()) >= 1e-4 * 0.9  # min_prob floor
+
+
+@pytest.mark.parametrize('backbone,esize,dsize', [
+    ('vgg16', 16, 16),   # edge /4, dp /4
+    ('m7', 32, 16),      # edge /2, dp /4
+])
+def test_irnet_grids(backbone, esize, dsize):
+    m = IRNet(backbone=backbone)
+    x = jnp.zeros((1, 64, 64, 3))
+    _, (edge, disp) = _init_apply(m, x)
+    assert edge.shape == (1, esize, esize, 1)
+    assert disp.shape == (1, dsize, dsize, 2)
+
+
+def test_irnet_trunk_frozen():
+    m = IRNet(backbone='m7')
+    x = jnp.ones((1, 32, 32, 3))
+    vs = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+
+    def loss(params):
+        edge, disp = m.apply({**vs, 'params': params}, x)
+        return jnp.sum(edge ** 2) + jnp.sum(disp ** 2)
+
+    g = jax.jit(jax.grad(loss))(vs['params'])
+    trunk_norm = sum(float(jnp.abs(v).sum())
+                     for v in jax.tree_util.tree_leaves(g['trunk']))
+    head_norm = sum(float(jnp.abs(v).sum())
+                    for k, v in g.items() if k != 'trunk'
+                    for v in jax.tree_util.tree_leaves(v))
+    assert trunk_norm == 0.0
+    assert head_norm > 0.0

@@ -1,0 +1,5 @@
+from wsss_tpu.models.backbones import (  # noqa: F401
+    M7Classifier, VGG16Backbone, VGG16Classifier, build_classifier)
+from wsss_tpu.models.deeplab import (  # noqa: F401
+    DSRGNet, SECNet, sp_softmax)
+from wsss_tpu.models.irn import IRNet, edge_displacement_inference  # noqa: F401

@@ -1,0 +1,68 @@
+"""Benchmark: CAM + dense-CRF pseudo-label generation throughput.
+
+The BASELINE.json headline metric — images/sec/chip for the 02_cues + CRF
+path (VGG16 @ 321^2, 21 classes, HistoSegNet-style dense-CRF refinement at
+full resolution).  The reference runs this as Keras predict + host einsum +
+per-image pydensecrf on CPU (02_cues/demo.py:155-214,
+03c_hsn/demo.py:101-232); its own per-image timing prints put it at ~2
+img/s on an RTX 2060-class GPU (CRF-dominated), which is the vs_baseline
+denominator used here.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+NOTE (axon): block_until_ready does not block under the TPU tunnel — the
+loop chains device calls and forces one host fetch at the end.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC = 2.0  # reference GPU estimate (see module docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wsss_tpu.data import registry
+    from wsss_tpu.methods import gradcam_cues as gc
+    from wsss_tpu.methods.hsn import HSNSegmenter
+    from wsss_tpu.ops.crf import config as crf_config
+
+    spec = registry.get('VOC2012')
+    size = 321
+    batch = 4
+    n_batches = 4
+
+    fg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size)
+    bg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size,
+                                     seed=1)
+    seg = HSNSegmenter(spec, fg, bg, model_type='VGG16')
+
+    rng = np.random.default_rng(0)
+    imgs = [rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)
+            for _ in range(n_batches)]
+
+    # warmup/compile
+    _ = np.asarray(seg.segment_batch(imgs[0]))
+
+    t0 = time.time()
+    outs = [seg.segment_batch(im) for im in imgs]
+    sink = sum(int(np.asarray(o)[0, 0, 0]) * 0 for o in outs)  # host sync
+    dt = time.time() - t0
+    n_imgs = batch * n_batches + sink
+    ips = n_imgs / dt
+
+    print(json.dumps({
+        'metric': 'cam_crf_pseudolabel_gen',
+        'value': round(ips, 2),
+        'unit': 'images/sec/chip',
+        'vs_baseline': round(ips / REFERENCE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

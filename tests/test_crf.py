@@ -114,3 +114,26 @@ def test_crf_label_refine_roundtrip():
         jnp.asarray(img), jnp.asarray(labels), 2, cfg))
     # clean consistent labels on a matching image survive refinement
     assert (out == labels).mean() > 0.9
+
+
+def test_direct_bilateral_matches_exact():
+    """Small-sxy path (DirectBilateral) must be near-exact vs the dense
+    kernel (truncation at 3*sxy is the only approximation)."""
+    from wsss_tpu.ops.crf.meanfield import DirectBilateral, DenseBilateral, \
+        make_bilateral
+    probs, img = _toy_problem(10, 10, seed=9)
+    Q = probs / probs.sum(-1, keepdims=True)
+    sxy, srgb = 1.7, 13.0
+    # small inputs route to the exact dense path by default
+    assert isinstance(make_bilateral(jnp.asarray(img), sxy, srgb),
+                      DenseBilateral)
+    for cls in (DirectBilateral, DenseBilateral):
+        filt = cls(jnp.asarray(img), sxy, srgb)
+        n = jnp.sqrt(1.0 / jnp.maximum(
+            filt.filter(jnp.ones((10, 10, 1))), 1e-20))
+        got = n * filt.filter(n * jnp.asarray(Q)) - n * n * jnp.asarray(Q)
+        _, kb = reference._kernel_matrices(img, 1.0, sxy, srgb)
+        want = reference._sym_message(kb, Q.reshape(-1, 3),
+                                      True).reshape(Q.shape)
+        corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
+        assert corr > 0.995, (cls.__name__, corr)

@@ -1,0 +1,214 @@
+"""Host-side data pipeline: devkit loaders + synthetic fixtures.
+
+One loader family replaces the reference's four (Keras ImageDataGenerator
+02_cues/dataset.py, tf.data 03a model.py:157-348, torch Datasets
+03b dataloaders, trimmed copies in 03c).  Host work is IO + decode only;
+normalization and augmentation run on device (wsss_tpu.ops / methods).
+
+When no devkit is on disk (this image ships none), :class:`SyntheticWSSS`
+fabricates a deterministic dataset with the same interface — images whose
+GT segmentation is derivable (colored blobs), so end-to-end pipelines and
+benchmarks run without the real data.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wsss_tpu.data.registry import DatasetSpec, get as get_spec
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+@dataclasses.dataclass
+class Batch:
+    """One host batch. Arrays are numpy; device transfer happens at jit
+    boundaries."""
+    indices: np.ndarray          # [B] global image indices
+    names: List[str]
+    images: np.ndarray           # [B,H,W,3] float32 RGB 0..255 (unnorm)
+    tags: np.ndarray             # [B,C_fg] image-level labels (0/1)
+    gt: Optional[np.ndarray] = None      # [B,Hg,Wg] int32 seg labels or None
+
+
+class DevkitDataset:
+    """Reads a reference-layout devkit (VOCdevkit / ADPdevkit / DGdevkit).
+
+    Directory conventions follow 02_cues/dataset.py:98-126 and the 03b
+    dataloaders; images resized to `size` at load.
+    """
+
+    def __init__(self, spec: DatasetSpec, root: str, split: str, size: int,
+                 htt: Optional[str] = None):
+        if Image is None:
+            raise RuntimeError('PIL unavailable')
+        self.spec, self.root, self.split, self.size = spec, root, split, size
+        self.htt = htt
+        self.names, self.tags = self._read_split()
+
+    # --- layout ----------------------------------------------------------
+    def _dirs(self):
+        name = self.spec.name
+        if name == 'VOC2012':
+            base = os.path.join(self.root, 'VOCdevkit', 'VOC_trainaug_val',
+                                'VOC2012')
+            return (os.path.join(base, 'JPEGImages'),
+                    os.path.join(base, 'SegmentationClassAug'),
+                    os.path.join(base, 'ImageSets', 'Segmentation'))
+        if name.startswith('ADP'):
+            base = os.path.join(self.root, 'ADPdevkit', 'ADPRelease1')
+            sub = 'ADP-' + (self.htt or name.split('-')[-1])
+            return (os.path.join(base, 'PNGImagesSubset'),
+                    os.path.join(base, 'SegmentationClassAug', sub),
+                    os.path.join(base, 'ImageSets', 'Segmentation'))
+        base = os.path.join(self.root, 'DGdevkit')
+        return (os.path.join(base, 'JPEGImages'),
+                os.path.join(base, 'SegmentationClassAug'),
+                os.path.join(base, 'ImageSets', 'Segmentation'))
+
+    def _read_split(self):
+        img_dir, _, split_dir = self._dirs()
+        txt = os.path.join(split_dir, self.split + '.txt')
+        csv = os.path.join(split_dir, self.split + '.csv')
+        names: List[str] = []
+        tags = None
+        if os.path.exists(csv):
+            import csv as _csv
+            with open(csv) as f:
+                rows = list(_csv.reader(f))
+            header, rows = rows[0], rows[1:]
+            names = [r[0] for r in rows]
+            tags = np.asarray([[float(v) for v in r[1:]] for r in rows],
+                              np.float32)
+        elif os.path.exists(txt):
+            with open(txt) as f:
+                names = [ln.strip().split(' ')[0] for ln in f
+                         if ln.strip()]
+        else:
+            raise FileNotFoundError(f'no split list {txt} / {csv}')
+        if tags is None:
+            tags = np.zeros((len(names), self.spec.n_fg_classes),
+                            np.float32)
+        return names, tags
+
+    def __len__(self):
+        return len(self.names)
+
+    def _load_img(self, name: str) -> np.ndarray:
+        img_dir, _, _ = self._dirs()
+        path = os.path.join(img_dir, name)
+        if not os.path.splitext(name)[1]:
+            for ext in ('.jpg', '.png'):
+                if os.path.exists(path + ext):
+                    path += ext
+                    break
+        im = Image.open(path).convert('RGB')
+        if im.size != (self.size, self.size):
+            im = im.resize((self.size, self.size), Image.BILINEAR)
+        return np.asarray(im, np.float32)
+
+    def _load_gt(self, name: str) -> Optional[np.ndarray]:
+        _, gt_dir, _ = self._dirs()
+        base = os.path.splitext(name)[0]
+        path = os.path.join(gt_dir, base + '.png')
+        if not os.path.exists(path):
+            return None
+        im = Image.open(path)
+        arr = np.asarray(im)
+        if arr.ndim == 2:        # palettized index labels (VOC)
+            return arr.astype(np.int32)
+        # RGB color-coded GT (ADP / DeepGlobe): decode via palette
+        pal = self.spec.palette_array().astype(np.int32)
+        flat = arr[..., :3].reshape(-1, 3).astype(np.int32)
+        d = np.abs(flat[:, None, :] - pal[None]).sum(-1)
+        return d.argmin(1).reshape(arr.shape[:2]).astype(np.int32)
+
+    def batches(self, batch_size: int, with_gt: bool = False
+                ) -> Iterator[Batch]:
+        n = len(self.names)
+        for s in range(0, n, batch_size):
+            names = self.names[s:s + batch_size]
+            imgs = np.stack([self._load_img(nm) for nm in names])
+            gt = None
+            if with_gt:
+                gts = [self._load_gt(nm) for nm in names]
+                if all(g is not None for g in gts):
+                    gt = np.stack(gts)
+            yield Batch(indices=np.arange(s, s + len(names)),
+                        names=list(names), images=imgs,
+                        tags=self.tags[s:s + len(names)], gt=gt)
+
+
+class SyntheticWSSS:
+    """Deterministic synthetic dataset with derivable GT.
+
+    Images are composed of colored rectangles, one color per class; the GT
+    mask is the rectangle layout; image-level tags are the classes present.
+    Class 0 renders as the background color when the spec has a background
+    class.
+    """
+
+    def __init__(self, spec: DatasetSpec | str, size: int = 64,
+                 n_images: int = 32, seed: int = 0):
+        self.spec = get_spec(spec) if isinstance(spec, str) else spec
+        self.size = size
+        self.n = n_images
+        self.seed = seed
+        # distinct render colors per seg class (palette itself, jittered)
+        self.colors = self.spec.palette_array().astype(np.float32)
+
+    def __len__(self):
+        return self.n
+
+    def _gen_one(self, idx: int):
+        rng = np.random.default_rng(self.seed * 100003 + idx)
+        c_seg = self.spec.n_seg_classes
+        nbg = self.spec.n_bg_channels
+        gt = np.zeros((self.size, self.size), np.int32)
+        n_obj = rng.integers(1, 4)
+        present = rng.choice(np.arange(nbg, c_seg),
+                             size=min(n_obj, c_seg - nbg), replace=False)
+        for cls in present:
+            h = rng.integers(self.size // 5, self.size // 2)
+            w = rng.integers(self.size // 5, self.size // 2)
+            y = rng.integers(0, self.size - h)
+            x = rng.integers(0, self.size - w)
+            gt[y:y + h, x:x + w] = cls
+        img = self.colors[gt].astype(np.float32)
+        img += rng.normal(0, 6, img.shape).astype(np.float32)
+        img = np.clip(img, 0, 255)
+        tags = np.zeros((self.spec.n_fg_classes,), np.float32)
+        for cls in np.unique(gt):
+            if cls >= nbg:
+                tags[cls - nbg] = 1.0
+        return img, tags, gt
+
+    def batches(self, batch_size: int, with_gt: bool = True
+                ) -> Iterator[Batch]:
+        for s in range(0, self.n, batch_size):
+            items = [self._gen_one(i)
+                     for i in range(s, min(s + batch_size, self.n))]
+            imgs, tags, gts = map(np.stack, zip(*items))
+            yield Batch(indices=np.arange(s, s + len(items)),
+                        names=[f'synth_{i:05d}' for i in
+                               range(s, s + len(items))],
+                        images=imgs, tags=tags,
+                        gt=gts if with_gt else None)
+
+
+def open_dataset(spec_name: str, data_root: Optional[str], split: str,
+                 size: int, synthetic_n: int = 32, htt: Optional[str] = None):
+    """Devkit if present on disk, else synthetic (same interface)."""
+    spec = get_spec(spec_name)
+    if data_root:
+        try:
+            return DevkitDataset(spec, data_root, split, size, htt=htt)
+        except (FileNotFoundError, RuntimeError):
+            pass
+    return SyntheticWSSS(spec, size=size, n_images=synthetic_n)

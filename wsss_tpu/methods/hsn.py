@@ -1,0 +1,148 @@
+"""Method: HistoSegNet inference (the reference's 03c_hsn stage).
+
+Grad-CAM (confidence-scaled) -> fg/bg merge (VOC/DeepGlobe) or
+HTT-adjust + CS-Grad-CAM (ADP) -> dense CRF -> argmax segmentation.
+
+Reference flow: 03c_hsn/demo.py:18-269 (segment) and :271-464
+(segment_adp); the per-image pydensecrf call (utilities.py:399-445) — the
+dominant cost there — runs here as the on-device mean-field.
+
+Quirks preserved:
+  * thresholds are clamped max(min(t, 0), 1/3) == 1/3 for every class
+    (03c_hsn/demo.py:83) — effectively a constant 1/3 threshold.
+  * VOC bg channel = 0.15 * sigmoid(max(X_bg) - X_bg) with the max taken
+    over the whole batch, X_bg = sum of bg-net CAMs (demo.py:142-148).
+  * DeepGlobe drops the classifier's last class (demo.py:149-150).
+  * dcrf_process runs only on passing classes (utilities.py:425-429) —
+    reproduced by zero-masking, which is mathematically identical.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsss_tpu.data import registry
+from wsss_tpu.methods.gradcam_cues import _ClassifierHandle, _normalizer
+from wsss_tpu.ops import cues as cue_ops
+from wsss_tpu.ops import gradcam as gc_ops
+from wsss_tpu.ops.crf import config as crf_config
+from wsss_tpu.ops.crf.meanfield import mean_field
+
+HSN_THRESHOLD = 1.0 / 3.0  # demo.py:83 clamp degenerates to a constant
+
+
+class HSNSegmenter:
+    """VOC2012 / DeepGlobe HistoSegNet inference."""
+
+    def __init__(self, spec: registry.DatasetSpec, fg: _ClassifierHandle,
+                 bg: Optional[_ClassifierHandle] = None,
+                 model_type: str = 'VGG16',
+                 cfg: Optional[crf_config.CRFConfig] = None,
+                 drop_last_class: bool = False):
+        self.spec = spec
+        cfg = cfg or crf_config.hsn_config(spec.name, model_type)
+        norm = _normalizer(spec.norm_cues)
+        size = fg.input_size
+
+        @jax.jit
+        def probs_fn(imgs_raw):
+            x = norm(imgs_raw)
+            scores, feats = fg.model.apply(fg.variables, x)
+            is_pass = scores >= HSN_THRESHOLD
+            h_fg = gc_ops.grad_cam_confidence(
+                feats, fg.weights, is_pass, scores,
+                upsample_hw=(size, size))
+            if spec.uses_bg_net:
+                s_bg, f_bg = bg.model.apply(bg.variables, x)
+                h_bg = gc_ops.grad_cam_confidence(
+                    f_bg, bg.weights, s_bg >= HSN_THRESHOLD, s_bg,
+                    upsample_hw=(size, size))
+                x_bg = jnp.sum(h_bg, axis=-1)
+                bg_ch = 0.15 * jax.nn.sigmoid(jnp.max(x_bg) - x_bg)
+                probs = jnp.concatenate([bg_ch[..., None], h_fg], axis=-1)
+            elif drop_last_class:
+                probs = h_fg[..., :-1]
+            else:
+                probs = h_fg
+            return probs
+
+        self._probs_fn = probs_fn
+        self._cfg = cfg
+
+    def segment_batch(self, imgs_raw) -> jax.Array:
+        """imgs_raw: [B,S,S,3] float RGB 0..255 -> labels [B,S,S] int32.
+
+        The CAM stage is one jitted call; the CRF is dispatched per image
+        at the host level (see the lax.map performance note in
+        ops/crf/meanfield.py)."""
+        imgs = jnp.asarray(imgs_raw, jnp.float32)
+        probs = self._probs_fn(imgs)
+        q = mean_field(probs, imgs, self._cfg)
+        return jnp.argmax(q, axis=-1).astype(jnp.int32)
+
+
+class ADPHSNSegmenter:
+    """ADP morph+func HistoSegNet inference (segment_adp,
+    03c_hsn/demo.py:271-464): modify_by_htt -> CS-Grad-CAM -> CRF."""
+
+    def __init__(self, handle: _ClassifierHandle, model_family: str,
+                 cfg_morph: Optional[crf_config.CRFConfig] = None,
+                 cfg_func: Optional[crf_config.CRFConfig] = None):
+        self.handle = handle
+        maps = registry.adp_index_maps(model_family)
+        morph_spec = registry.get('ADP-morph')
+        func_spec = registry.get('ADP-func')
+        cfg_morph = cfg_morph or crf_config.hsn_config('ADP-morph')
+        cfg_func = cfg_func or crf_config.hsn_config('ADP-func')
+        norm = _normalizer(morph_spec.norm_cues)
+        size = handle.input_size
+        is_x17 = model_family.upper().startswith('X1')
+        all31 = maps['x17_to_31'] if is_x17 else maps['all']
+        base = registry.ADP_CLASSES_VGG16
+        morph31 = np.array([i for i, c in enumerate(base)
+                            if c in registry.ADP_MORPH_CLASSES])
+        func31 = np.array([i for i, c in enumerate(base)
+                           if c in registry.ADP_FUNC_CLASSES])
+        adipose31 = np.array([i for i, c in enumerate(base)
+                              if c in registry.ADP_ADIPOSE_CLASSES])
+        adipose_in_morph = tuple(1 + np.searchsorted(morph31, adipose31))
+        func_exc = tuple(func_spec.seg_class_names.index(c)
+                         for c in registry.ADP_BG_EXCEPTION['func'])
+
+        @jax.jit
+        def batch_fn(imgs_raw):
+            x = norm(imgs_raw)
+            scores, feats = handle.model.apply(handle.variables, x)
+            is_pass = scores >= handle.thresholds[None]
+            cams = gc_ops.grad_cam_confidence(
+                feats, handle.weights, is_pass, scores,
+                upsample_hw=(size, size))
+            cams31 = cams[..., all31]
+            morph = jnp.zeros(cams31.shape[:3] +
+                              (morph_spec.n_seg_classes,))
+            morph = morph.at[..., 1:].set(cams31[..., morph31])
+            morph = cue_ops.modify_by_htt(
+                morph, imgs_raw, exception_inds=adipose_in_morph, bg_ind=0)
+            func = jnp.zeros(cams31.shape[:3] + (func_spec.n_seg_classes,))
+            func = func.at[..., 2:].set(cams31[..., func31])
+            adipose_cam = jnp.max(morph[..., adipose_in_morph], axis=-1)
+            func = cue_ops.modify_by_htt(
+                func, imgs_raw, exception_inds=func_exc, bg_ind=0,
+                other_ind=1, adipose_cam=adipose_cam)
+            cs_m = gc_ops.cs_gradcam(morph)
+            cs_f = gc_ops.cs_gradcam(func, other_ind=1)
+            return cs_m, cs_f
+
+        self._batch_fn = batch_fn
+        self._cfg_morph, self._cfg_func = cfg_morph, cfg_func
+
+    def segment_batch(self, imgs_raw) -> Tuple[jax.Array, jax.Array]:
+        imgs = jnp.asarray(imgs_raw, jnp.float32)
+        cs_m, cs_f = self._batch_fn(imgs)
+        q_m = mean_field(cs_m, imgs, self._cfg_morph)
+        q_f = mean_field(cs_f, imgs, self._cfg_func)
+        return (jnp.argmax(q_m, -1).astype(jnp.int32),
+                jnp.argmax(q_f, -1).astype(jnp.int32))

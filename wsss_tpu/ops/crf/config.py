@@ -47,13 +47,23 @@ DSRG_TEST = CRFConfig(3, 3, 80, 13, 10, 10)
 
 # --- HistoSegNet (03c_hsn/demo.py:156-165) ---
 HSN_TEST = {
-    'VOC2012': CRFConfig(3, 3, 80, 13, 10, 5),
-    'DeepGlobe': CRFConfig(3, 3, 80, 13, 10, 5),
-    'DeepGlobe_balanced': CRFConfig(3, 3, 80, 13, 10, 5),
-    # ADP defaults; overridden by learned *_optimal_pcc.npy when available
-    'ADP-morph': CRFConfig(1, 20, 10, 40, 50, 5),
-    'ADP-func': CRFConfig(3, 40, 10, 4, 25, 5),
+    ('VOC2012', 'VGG16'): CRFConfig(3 / 2, 3, 80 / 2, 13, 10, 10),
+    ('VOC2012', 'M7'): CRFConfig(3 / 12 / 4, 3, 80 / 12 / 4, 13, 10, 10),
+    ('DeepGlobe', None): CRFConfig(3 / 2, 3, 80 / 2, 13, 10, 10),
+    ('DeepGlobe_balanced', None): CRFConfig(3 / 2, 3, 80 / 2, 13, 10, 10),
+    # ADP configs are learned ({morph,func}_optimal_pcc.npy,
+    # 03c_hsn/demo.py:379); these defaults mirror the SEC test values and
+    # are used when no learned file is provided.
+    ('ADP-morph', None): CRFConfig(1, 20, 10, 40, 50, 5),
+    ('ADP-func', None): CRFConfig(3, 40, 10, 4, 25, 5),
 }
+
+
+def hsn_config(dataset: str, model_type: str = None) -> CRFConfig:
+    for key in ((dataset, model_type), (dataset, None)):
+        if key in HSN_TEST:
+            return HSN_TEST[key]
+    raise KeyError(f'no HSN CRF config for {dataset}/{model_type}')
 
 # --- IRNet ir-label refinement (misc.imutils.crf_inference_label upstream:
 # gaussian sxy=3 compat=3, bilateral sxy=50 srgb=5 compat=10, 10 iters) ---

@@ -35,11 +35,12 @@ import numpy as np
 
 Array = jax.Array
 
-# Gaussian blur applied inside the bilateral grid, in grid units.  With
-# multilinear splat+slice (each adds ~1/6 variance per axis) this makes the
-# effective kernel match exp(-d^2/2 sigma^2); calibrated against the exact
+# Gaussian blur applied inside the bilateral grid, in grid units.  The
+# splat/slice interpolation adds variance per axis (multilinear ~1/6 each
+# side, nearest ~1/12), so the blur sigma is chosen to make the effective
+# end-to-end kernel match exp(-d^2/2 sigma^2); calibrated against the exact
 # O(N^2) reference in tests/test_crf.py.
-_GRID_BLUR_SIGMA = 0.816
+_GRID_BLUR_SIGMA = {'multilinear': 0.816, 'nearest': 0.866}
 _GRID_BLUR_RADIUS = 2
 
 
@@ -49,15 +50,19 @@ def _blur_kernel1d(sigma: float, radius: int) -> np.ndarray:
 
 
 def _sep_conv(x: Array, k: Array, axis: int) -> Array:
-    """Unnormalized 1-D convolution along `axis`, zero-padded."""
+    """Unnormalized 1-D convolution along `axis`, zero-padded.
+
+    Slices along the axis in place (no transposes — XLA would otherwise
+    materialize badly-padded transposed copies of the 5-D grid)."""
     r = (k.shape[0] - 1) // 2
-    moved = jnp.moveaxis(x, axis, -1)
-    pad = [(0, 0)] * (moved.ndim - 1) + [(r, r)]
-    padded = jnp.pad(moved, pad)
-    n = moved.shape[-1]
-    out = sum(k[i] * jax.lax.dynamic_slice_in_dim(padded, i, n, -1)
-              for i in range(2 * r + 1))
-    return jnp.moveaxis(out, -1, axis)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, r)
+    padded = jnp.pad(x, pad)
+    n = x.shape[axis]
+    out = k[0] * jax.lax.dynamic_slice_in_dim(padded, 0, n, axis)
+    for i in range(1, 2 * r + 1):
+        out = out + k[i] * jax.lax.dynamic_slice_in_dim(padded, i, n, axis)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -96,59 +101,169 @@ def _grid_shape(hw: Tuple[int, int], sxy: float, srgb: float,
     return (gy, gx, gc, gc, gc)
 
 
+class BilateralGrid:
+    """Per-image bilateral-grid filter with splat indices/weights computed
+    ONCE (they depend only on the guide image) and reused across mean-field
+    iterations — the analog of pydensecrf building its permutohedral
+    lattice once per image."""
+
+    def __init__(self, img: Array, sxy: float, srgb: float,
+                 splat: str = 'nearest'):
+        """splat='nearest': one scatter per filter (nearest-cell splat,
+        multilinear slice) — the fast path.  'multilinear': 32-corner
+        splat, highest fidelity (used by the small-grid training CRF)."""
+        h, w = img.shape[:2]
+        self.hw = (h, w)
+        self.splat = splat
+        self.gshape = _grid_shape((h, w), sxy, srgb)
+        self.nflat = int(np.prod(self.gshape))
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        # +1 offset leaves a one-cell margin for the upper corner
+        coords = [jnp.asarray(yy.ravel()) / sxy + 1.0,
+                  jnp.asarray(xx.ravel()) / sxy + 1.0,
+                  img[..., 0].reshape(-1) / srgb + 1.0,
+                  img[..., 1].reshape(-1) / srgb + 1.0,
+                  img[..., 2].reshape(-1) / srgb + 1.0]
+        lo = [jnp.floor(f).astype(jnp.int32) for f in coords]
+        frac = [f - jnp.floor(f) for f in coords]
+        strides = np.cumprod((1,) + self.gshape[:0:-1])[::-1]
+        idx, wgt = [], []
+        for corner in range(32):
+            widx = jnp.zeros((h * w,), jnp.int32)
+            wg = jnp.ones((h * w,), jnp.float32)
+            for d in range(5):
+                bit = (corner >> d) & 1
+                widx = widx + (lo[d] + bit) * int(strides[d])
+                wg = wg * (frac[d] if bit else (1.0 - frac[d]))
+            idx.append(widx)
+            wgt.append(wg)
+        self.idx = jnp.stack(idx)      # [32, N] int32
+        self.wgt = jnp.stack(wgt)      # [32, N] f32
+        if splat == 'nearest':
+            nearest = jnp.zeros((h * w,), jnp.int32)
+            for d in range(5):
+                nearest = nearest + jnp.round(coords[d]).astype(
+                    jnp.int32) * int(strides[d])
+            self.nearest_idx = nearest
+        self.blur_k = jnp.asarray(
+            _blur_kernel1d(_GRID_BLUR_SIGMA[splat], _GRID_BLUR_RADIUS))
+
+    def filter(self, x: Array) -> Array:
+        """Approximate K @ x. x: [H,W,C]."""
+        h, w = self.hw
+        c = x.shape[-1]
+        vals = x.reshape(-1, c)
+        grid = jnp.zeros((self.nflat, c), x.dtype)
+        if self.splat == 'nearest':
+            grid = grid.at[self.nearest_idx].add(vals)
+        else:
+            grid = grid.at[self.idx.reshape(-1)].add(
+                (self.wgt[..., None] * vals[None]).reshape(-1, c))
+        g = grid.reshape(self.gshape + (c,))
+        for axis in range(5):
+            g = _sep_conv(g, self.blur_k, axis)
+        gflat = g.reshape(self.nflat, c)
+        # corner-loop accumulation keeps peak memory at [N,C] per step
+        # (a single [32,N,C] gather would dominate HBM under vmap)
+        out = jnp.zeros((h * w, c), x.dtype)
+        for i in range(32):
+            out = out + self.wgt[i][:, None] * gflat[self.idx[i]]
+        return out.reshape(h, w, c)
+
+
+class DirectBilateral:
+    """Exact truncated windowed bilateral filter for small spatial sigmas.
+
+    When sxy is small (e.g. the HSN VOC-M7 config's sxy=80/48 ≈ 1.7,
+    03c_hsn/demo.py:161) the bilateral grid degenerates (spatial grid ≈
+    full image x color cube); a direct sliding-window sum over shifted
+    arrays is exact, dense, and VPU-friendly.  Truncated at radius
+    ceil(3*sxy).  The color weight maps are precomputed once per image.
+    """
+
+    def __init__(self, img: Array, sxy: float, srgb: float):
+        self.r = int(np.ceil(3.0 * sxy))
+        offs, wspace = [], []
+        for dy in range(-self.r, self.r + 1):
+            for dx in range(-self.r, self.r + 1):
+                d2 = dy * dy + dx * dx
+                if d2 > (3.0 * sxy) ** 2:
+                    continue
+                offs.append((dy, dx))
+                wspace.append(np.exp(-0.5 * d2 / (sxy * sxy)))
+        self.offs = offs
+        img = img.astype(jnp.float32)
+        h, w = img.shape[:2]
+        self.wmaps = []
+        for (dy, dx), ws in zip(offs, wspace):
+            shifted = _shift2d(img, dy, dx)
+            dI2 = jnp.sum((img - shifted) ** 2, axis=-1)
+            valid = _shift2d(jnp.ones((h, w, 1), jnp.float32), dy, dx)[..., 0]
+            self.wmaps.append(
+                float(ws) * jnp.exp(-0.5 * dI2 / (srgb * srgb)) * valid)
+
+    def filter(self, x: Array) -> Array:
+        out = jnp.zeros_like(x)
+        for (dy, dx), wm in zip(self.offs, self.wmaps):
+            out = out + wm[..., None] * _shift2d(x, dy, dx)
+        return out
+
+
+def _shift2d(x: Array, dy: int, dx: int) -> Array:
+    """Shift [H,W,C] by (dy,dx) with zero fill: out[p] = x[p + (dy,dx)]."""
+    h, w = x.shape[:2]
+    padded = jnp.pad(x, ((abs(dy), abs(dy)), (abs(dx), abs(dx)), (0, 0)))
+    return jax.lax.dynamic_slice(
+        padded, (abs(dy) + dy, abs(dx) + dx, 0), x.shape)
+
+
+class DenseBilateral:
+    """Exact bilateral filtering via the materialized [N,N] kernel.
+
+    For small pixel counts (the 41x41 seed-grid CRF inside SEC/DSRG
+    training, SEC.py:252-284) the dense kernel is only ~11 MB and one MXU
+    matmul per filter — exact and far faster than any approximation."""
+
+    def __init__(self, img: Array, sxy: float, srgb: float):
+        h, w = img.shape[:2]
+        self.hw = (h, w)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        pos = jnp.asarray(np.stack([yy.ravel(), xx.ravel()], 1))
+        rgb = img.reshape(-1, 3).astype(jnp.float32)
+        d2 = jnp.sum((pos[:, None] - pos[None]) ** 2, -1)
+        c2 = jnp.sum((rgb[:, None] - rgb[None]) ** 2, -1)
+        self.K = jnp.exp(-0.5 * d2 / (sxy * sxy)
+                         - 0.5 * c2 / (srgb * srgb))
+
+    def filter(self, x: Array) -> Array:
+        h, w = self.hw
+        out = jnp.matmul(self.K, x.reshape(h * w, -1),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(h, w, -1)
+
+
+def make_bilateral(img: Array, sxy: float, srgb: float):
+    """Pick the right bilateral structure: exact dense kernel for small
+    grids, exact direct window for small sxy, 5-D grid otherwise."""
+    n = img.shape[0] * img.shape[1]
+    if n <= 10240:
+        return DenseBilateral(img, sxy, srgb)
+    if int(np.ceil(3.0 * sxy)) <= 8:
+        return DirectBilateral(img, sxy, srgb)
+    return BilateralGrid(img, sxy, srgb)
+
+
 def _bilateral_filter_raw(x: Array, img: Array, sxy: float, srgb: float
                           ) -> Array:
-    """Approximate K @ x for the bilateral kernel via a 5-D grid.
-    x: [H,W,C]; img: [H,W,3] in 0..255."""
-    h, w, c = x.shape
-    gshape = _grid_shape((h, w), sxy, srgb)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    # +1 offset leaves a one-cell margin for the multilinear upper corner
-    coords = [jnp.asarray(yy.ravel()) / sxy + 1.0,
-              jnp.asarray(xx.ravel()) / sxy + 1.0,
-              img[..., 0].reshape(-1) / srgb + 1.0,
-              img[..., 1].reshape(-1) / srgb + 1.0,
-              img[..., 2].reshape(-1) / srgb + 1.0]
-    lo = [jnp.floor(f).astype(jnp.int32) for f in coords]
-    frac = [f - jnp.floor(f) for f in coords]
-    strides = np.cumprod((1,) + gshape[:0:-1])[::-1]  # row-major strides
-    nflat = int(np.prod(gshape))
-    vals = x.reshape(-1, c)
-
-    grid = jnp.zeros((nflat, c), x.dtype)
-    for corner in range(32):
-        widx = jnp.zeros((h * w,), jnp.int32)
-        wgt = jnp.ones((h * w,), x.dtype)
-        for d in range(5):
-            bit = (corner >> d) & 1
-            widx = widx + (lo[d] + bit) * int(strides[d])
-            wgt = wgt * (frac[d] if bit else (1.0 - frac[d]))
-        grid = grid.at[widx].add(wgt[:, None] * vals)
-
-    g = grid.reshape(gshape + (c,))
-    k = jnp.asarray(_blur_kernel1d(_GRID_BLUR_SIGMA, _GRID_BLUR_RADIUS))
-    for axis in range(5):
-        g = _sep_conv(g, k, axis)
-    gflat = g.reshape(nflat, c)
-
-    out = jnp.zeros((h * w, c), x.dtype)
-    for corner in range(32):
-        widx = jnp.zeros((h * w,), jnp.int32)
-        wgt = jnp.ones((h * w,), x.dtype)
-        for d in range(5):
-            bit = (corner >> d) & 1
-            widx = widx + (lo[d] + bit) * int(strides[d])
-            wgt = wgt * (frac[d] if bit else (1.0 - frac[d]))
-        out = out + wgt[:, None] * gflat[widx]
-    return out.reshape(h, w, c)
+    return make_bilateral(img, sxy, srgb).filter(x)
 
 
 def bilateral_message(Q: Array, img: Array, sxy: float, srgb: float,
                       exclude_self: bool = True) -> Array:
+    filt = make_bilateral(img, sxy, srgb)
     ones = jnp.ones(Q.shape[:2] + (1,), Q.dtype)
-    norm = _bilateral_filter_raw(ones, img, sxy, srgb)
-    n = jax.lax.rsqrt(jnp.maximum(norm, 1e-20))
-    out = n * _bilateral_filter_raw(n * Q, img, sxy, srgb)
+    n = jax.lax.rsqrt(jnp.maximum(filt.filter(ones), 1e-20))
+    out = n * filt.filter(n * Q)
     if exclude_self:
         # true-kernel self weight is 1 -> subtract n_i^2 Q_i
         out = out - (n * n) * Q
@@ -170,13 +285,27 @@ def _mean_field_single(probs: Array, img: Array, *, g_sxy, g_compat,
     logits0 = -U - jnp.max(-U, axis=-1, keepdims=True)
     Q = jax.nn.softmax(logits0, axis=-1)
 
+    # loop-invariant structures: splat geometry + symmetric normalizers
+    ones = jnp.ones(Q.shape[:2] + (1,), jnp.float32)
+    if bi_compat:
+        grid = make_bilateral(img, bi_sxy, bi_srgb)
+        n_b = jax.lax.rsqrt(jnp.maximum(grid.filter(ones), 1e-20))
+    if g_compat:
+        n_g = jax.lax.rsqrt(jnp.maximum(
+            _gaussian_filter_raw(ones, g_sxy), 1e-20))
+
     def body(_, Q):
         msg = 0.
         if g_compat:
-            msg = msg + g_compat * gaussian_message(Q, g_sxy, exclude_self)
+            m = n_g * _gaussian_filter_raw(n_g * Q, g_sxy)
+            if exclude_self:
+                m = m - (n_g * n_g) * Q
+            msg = msg + g_compat * m
         if bi_compat:
-            msg = msg + bi_compat * bilateral_message(
-                Q, img, bi_sxy, bi_srgb, exclude_self)
+            m = n_b * grid.filter(n_b * Q)
+            if exclude_self:
+                m = m - (n_b * n_b) * Q
+            msg = msg + bi_compat * m
         return jax.nn.softmax(-U + msg, axis=-1)
 
     return jax.lax.fori_loop(0, iterations, body, Q)
@@ -198,8 +327,38 @@ def mean_field(probs: Array, img: Array, config,
               exclude_self=exclude_self)
     if probs.ndim == 3:
         return _mean_field_single(probs, img, **kw)
+    # Vectorize over batch in chunks sized to keep the bilateral grid's
+    # working set within HBM; the dominant live buffers are the 5-D grid
+    # ([chunk, nflat, C]) and the pixel buffers ([chunk, H*W, C]).
+    b, h, w, c = probs.shape
+    n = h * w
+    if n <= 10240:                      # dense path: [N,N] kernel
+        big = n * n
+    elif config.bi_compat and int(np.ceil(3.0 * config.bi_sxy)) > 8:
+        big = int(np.prod(_grid_shape((h, w), config.bi_sxy,
+                                      config.bi_srgb))) * c
+    else:
+        big = n * c
+    per_img = max(n * c, big) * 4
+    budget = 128 * 1024 * 1024  # bytes per live buffer
+    chunk = max(1, min(b, budget // max(per_img, 1)))
     fn = jax.vmap(lambda p, i: _mean_field_single(p, i, **kw))
-    return fn(probs, img)
+    if chunk >= b:
+        return fn(probs, img)
+    # Sequential per-image dispatch.  NOTE: measured on v5e, wrapping the
+    # scatter-heavy grid filter in lax.map runs ~7x slower than the same
+    # graph dispatched per image, so large-image batches loop at the host
+    # level (async dispatch chains; each call reuses one compiled graph).
+    # Callers must NOT embed large-image batched mean_field inside an
+    # outer jit — call it at the host level (methods/hsn.py does).
+    if chunk == 1:
+        outs = [_mean_field_single(probs[i], img[i], **kw)
+                for i in range(b)]
+        return jnp.stack(outs, axis=0)
+    outs = []
+    for s in range(0, b, chunk):
+        outs.append(fn(probs[s:s + chunk], img[s:s + chunk]))
+    return jnp.concatenate(outs, axis=0)
 
 
 def crf_label_refine(img: Array, labels: Array, n_labels: int, config,

@@ -1,0 +1,69 @@
+"""Device-mesh + sharding helpers.
+
+The reference's parallelism is share-nothing OS processes writing disjoint
+files (torch.multiprocessing.spawn over split_dataset, make_cam.py:120-122)
+plus single-process DataParallel (train_irn.py:92).  The TPU-native
+equivalent (SURVEY.md §2.8): one program, a jax.sharding.Mesh over the
+chips, data-parallel batch sharding with XLA collectives over ICI, and
+optional spatial sharding for the big-image CRF path.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ('data', 'model')):
+    """1x or 2-axis mesh over available devices.
+
+    Default layout puts everything on 'data' (batch parallel — the only
+    parallelism the workload needs at VGG16 scale) with a trivial 'model'
+    axis that spatial/tensor sharding can use when requested.
+    """
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devs)
+    if len(axis_names) == 1:
+        shape = (n,)
+    else:
+        # prefer model axis 2 when it divides the device count
+        model = 2 if n % 2 == 0 and n > 1 else 1
+        shape = (n // model, model)
+    return Mesh(np.asarray(devs).reshape(shape), axis_names[:len(shape)])
+
+
+def batch_sharding(mesh: Mesh):
+    """Shard the leading (batch) dim over 'data', replicate the rest."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def spatial_sharding(mesh: Mesh, axis: int = 1):
+    """Shard an image's row dimension over 'model' (halo-exchange CRF)."""
+    spec = [None, None, None, None]
+    spec[axis] = 'model'
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place host arrays with the batch dim sharded over 'data'.
+
+    Pads the batch up to a multiple of the data-axis size (XLA needs equal
+    shards); returns (padded arrays, original batch size).
+    """
+    n = mesh.shape['data']
+    out = []
+    b0 = arrays[0].shape[0]
+    pad = (-b0) % n
+    for a in arrays:
+        a = np.asarray(a)
+        if pad:
+            a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
+        out.append(jax.device_put(a, batch_sharding(mesh)))
+    return out, b0

@@ -1,0 +1,438 @@
+"""Method: IRNet — inter-pixel relations for semantic segmentation
+(the reference's 03b stack, all seven passes in one module).
+
+Pipeline (03b_irn/func_sample.py:232-274):
+  1. make_cam      — multi-scale + flip CAM inference (step/make_cam.py)
+  2. eval_cam      — CAM mIoU (step/eval_cam.py)
+  3. cam_to_ir_label — confident fg/bg + CRF label refinement
+                     (step/cam_to_ir_label.py)
+  4. train_irn     — affinity/displacement training (step/train_irn.py)
+  5. make_sem_seg  — random-walk propagation (step/make_sem_seg_labels.py)
+  6. eval_sem_seg  — final mIoU (step/eval_sem_seg.py)
+
+The reference parallelizes steps 1/3/5 by spawning one OS process per GPU
+writing disjoint .npy/.png shards (make_cam.py:120-122); here each step is
+a batched jitted program (shard the batch over a mesh for multi-chip).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from wsss_tpu.data import registry
+from wsss_tpu.methods.gradcam_cues import _ClassifierHandle, _normalizer
+from wsss_tpu.models.irn import IRNet, edge_displacement_inference
+from wsss_tpu.ops import cues as cue_ops
+from wsss_tpu.ops.crf import config as crf_config
+from wsss_tpu.ops.crf.meanfield import crf_label_refine
+from wsss_tpu.ops.filters import resize_bilinear, resize_nearest
+from wsss_tpu.ops.random_walk import PathIndex, propagate_to_edge, \
+    to_affinity
+from wsss_tpu.train.schedules import poly_decay
+
+
+def get_strided_size(hw, stride):
+    """misc.imutils.get_strided_size (make_cam.py:41)."""
+    return ((hw[0] - 1) // stride + 1, (hw[1] - 1) // stride + 1)
+
+
+def get_strided_up_size(hw, stride):
+    """misc.imutils.get_strided_up_size (make_cam.py:42)."""
+    st = get_strided_size(hw, stride)
+    return st[0] * stride, st[1] * stride
+
+
+# ---------------------------------------------------------------------------
+# Step 1: make_cam — multi-scale+flip CAM inference
+# ---------------------------------------------------------------------------
+
+class CAMInference:
+    """MSF CAM (step/make_cam.py:25-93 + net/{vgg16,m7}_cam.py).
+
+    The CAM branch convolves the final conv features with the classifier's
+    weight matrix (VGG16, vgg16_cam.py:48) or the stored Grad-CAM weights
+    (M7, m7_cam.py:45-48); image + horizontal flip are summed.
+    """
+
+    def __init__(self, handle: _ClassifierHandle, spec: registry.DatasetSpec,
+                 model_type: str = 'VGG16',
+                 scales: Sequence[float] = (1.0, 0.5, 1.5, 2.0),
+                 adp_htt: Optional[str] = None):
+        self.handle = handle
+        self.spec = spec
+        self.scales = tuple(scales)
+        self.adp_htt = adp_htt
+        self.model_type = model_type
+        norm = _normalizer(spec.norm_irn)
+        is_vgg = model_type.upper().startswith('VGG')
+        is_x17 = model_type.upper().startswith('X1')
+        maps = registry.adp_index_maps(model_type) if adp_htt else None
+
+        def cam_weights():
+            if is_vgg:
+                # pure CAM: the classifier Dense kernel [F, C]
+                return handle.variables['params']['head']['kernel']
+            return handle.weights  # M7/X1.7: Grad-CAM weights [F, C]
+
+        @functools.partial(jax.jit, static_argnames=('out_hw',))
+        def single_scale(img, out_hw):
+            """img: [1,h,w,3] raw RGB; returns (cam [C,out_h,out_w],
+            scores [C_out])."""
+            both = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
+            x = norm(both)
+            scores, feats = handle.model.apply(handle.variables, x)
+            w = cam_weights()
+            cam = jnp.maximum(
+                jnp.einsum('bhwf,fc->bhwc', feats.astype(jnp.float32), w),
+                0.)
+            cam = cam[0] + cam[1, :, ::-1]          # merge flip
+            cam = jnp.transpose(cam, (2, 0, 1))     # [C,h,w]
+            cam = jax.image.resize(
+                cam, (cam.shape[0],) + out_hw, 'bilinear')
+            return cam, scores[0]
+
+        self._single_scale = single_scale
+        self._maps = maps
+        self._is_x17 = is_x17
+
+    def _modify_adp(self, cam31, img_raw):
+        """On-device ADP bg/other synthesis (net/common_cam.py:31-92):
+        morph clamps bg at 0 (relu), func does not."""
+        maps = self._maps
+        base = registry.ADP_CLASSES_VGG16
+        morph31 = np.array([i for i, c in enumerate(base)
+                            if c in registry.ADP_MORPH_CLASSES])
+        func31 = np.array([i for i, c in enumerate(base)
+                           if c in registry.ADP_FUNC_CLASSES])
+        adipose31 = np.array([i for i, c in enumerate(base)
+                              if c in registry.ADP_ADIPOSE_CLASSES])
+        cam_hwc = jnp.transpose(cam31, (1, 2, 0))[None]
+        if self.adp_htt == 'morph':
+            vol = jnp.zeros(cam_hwc.shape[:3] + (1 + len(morph31),))
+            vol = vol.at[..., 1:].set(cam_hwc[..., morph31])
+            vol = cue_ops.modify_by_htt(
+                vol, img_raw, exception_inds=tuple(
+                    1 + np.searchsorted(morph31, adipose31)),
+                bg_ind=0, relu_bg=True)
+        else:
+            vol = jnp.zeros(cam_hwc.shape[:3] + (2 + len(func31),))
+            vol = vol.at[..., 2:].set(cam_hwc[..., func31])
+            adipose_cam = jnp.max(cam_hwc[..., adipose31], axis=-1)
+            vol = cue_ops.modify_by_htt(
+                vol, img_raw,
+                exception_inds=tuple(2 + np.arange(len(func31))),
+                bg_ind=0, other_ind=1, adipose_cam=adipose_cam)
+        return jnp.transpose(vol[0], (2, 0, 1))
+
+    def make_cam(self, img_raw: np.ndarray, tags: Optional[np.ndarray]
+                 ) -> Dict[str, np.ndarray]:
+        """One image -> {'keys','cam','high_res'} (make_cam.py:78-88).
+
+        img_raw: [H,W,3] RGB 0..255.  tags: [C_fg] image labels (train
+        split) or None (use thresholded predictions, make_cam.py:49-52).
+        """
+        h, w = img_raw.shape[:2]
+        strided = get_strided_size((h, w), 4)
+        up = get_strided_up_size((h, w), 16)
+        cam_sum = None
+        hi_sum = None
+        scores0 = None
+        for s in self.scales:
+            sh, sw = int(round(h * s)), int(round(w * s))
+            img_s = np.asarray(
+                resize_bilinear(jnp.asarray(img_raw, jnp.float32)[None],
+                                (sh, sw))[0])
+            cam, scores = self._single_scale(jnp.asarray(img_s)[None],
+                                             strided)
+            hi, _ = self._single_scale(jnp.asarray(img_s)[None], up)
+            cam_sum = cam if cam_sum is None else cam_sum + cam
+            hi_sum = hi if hi_sum is None else hi_sum + hi
+            if s == 1.0:
+                scores0 = scores
+        cam31 = cam_sum
+        hi31 = hi_sum[:, :h, :w]
+        if self._is_x17:
+            keep = self._maps['x17_to_31']
+            cam31, hi31 = cam31[keep], hi31[keep]
+            scores0 = scores0[keep]
+        if self.adp_htt:
+            img_j = jnp.asarray(img_raw, jnp.float32)[None]
+            cam31 = self._modify_adp(cam31, img_j)
+            hi31 = self._modify_adp(hi31, img_j)
+            nbg = 1 if self.adp_htt == 'morph' else 2
+            fg31 = (np.array([i for i, c in enumerate(
+                registry.ADP_CLASSES_VGG16)
+                if c in (registry.ADP_MORPH_CLASSES
+                         if self.adp_htt == 'morph'
+                         else registry.ADP_FUNC_CLASSES)]))
+            valid_fg = (np.where(tags > 0.5)[0] if tags is not None else
+                        np.where(np.asarray(scores0)[fg31] >=
+                                 np.asarray(self.handle.thresholds)[0])[0])
+            keys = np.concatenate([np.arange(nbg), valid_fg + nbg])
+        else:
+            if tags is not None:
+                valid = np.where(tags > 0.5)[0]
+            else:
+                th = np.asarray(self.handle.thresholds)
+                sc = np.asarray(scores0)
+                passed = sc >= th
+                if not passed.any():
+                    passed[sc.argmax()] = True  # vgg16_cam.py:41-42
+                valid = np.where(passed)[0]
+            keys = valid
+            cam31 = cam31[jnp.asarray(valid)] if len(valid) else cam31[:0]
+            hi31 = hi31[jnp.asarray(valid)] if len(valid) else hi31[:0]
+        if len(keys) == 0:
+            return {'keys': np.empty(0, np.int64),
+                    'cam': np.empty(0), 'high_res': np.empty(0)}
+        if self.adp_htt:
+            sel = jnp.asarray(keys)
+            cam31, hi31 = cam31[sel], hi31[sel]
+        cam31 = cam31 / (jnp.max(cam31, axis=(1, 2), keepdims=True) + 1e-5)
+        hi31 = hi31 / (jnp.max(hi31, axis=(1, 2), keepdims=True) + 1e-5)
+        return {'keys': np.asarray(keys),
+                'cam': np.asarray(cam31),
+                'high_res': np.asarray(hi31)}
+
+
+# ---------------------------------------------------------------------------
+# Step 3: cam_to_ir_label
+# ---------------------------------------------------------------------------
+
+def cam_to_ir_label(img_raw: np.ndarray, cam_dict: Dict[str, np.ndarray],
+                    dataset: str, conf_fg_thres: float,
+                    conf_bg_thres: float = 0.05,
+                    cfg: crf_config.CRFConfig = crf_config.IRN_LABEL
+                    ) -> np.ndarray:
+    """step/cam_to_ir_label.py:18-77 — confident-region pseudo labels with
+    CRF refinement; 255 = ignore."""
+    keys = cam_dict['keys']
+    if keys.size == 0:
+        return np.full(img_raw.shape[:2], 255, np.uint8)
+    img_j = jnp.asarray(img_raw, jnp.float32)
+    if dataset == 'VOC2012':
+        keys_pad = np.pad(keys + 1, (1, 0), mode='constant')
+        hr = np.pad(cam_dict['high_res'], ((1, 0), (0, 0), (0, 0)),
+                    constant_values=conf_fg_thres)
+        fg_lab = np.argmax(hr, 0)
+        pred = np.asarray(crf_label_refine(
+            img_j, jnp.asarray(fg_lab), len(keys_pad), cfg))
+        fg_conf = keys_pad[pred]
+        hr_bg = np.pad(cam_dict['high_res'], ((1, 0), (0, 0), (0, 0)),
+                       constant_values=conf_bg_thres)
+        bg_lab = np.argmax(hr_bg, 0)
+        pred = np.asarray(crf_label_refine(
+            img_j, jnp.asarray(bg_lab), len(keys_pad), cfg))
+        bg_conf = keys_pad[pred]
+        conf = fg_conf.copy()
+        conf[fg_conf == 0] = 255
+        conf[(bg_conf + fg_conf) == 0] = 0
+    else:
+        # ADP / DeepGlobe (cam_to_ir_label.py:29-41,59-74); DeepGlobe
+        # downsamples the image x4 and uses the strided cam
+        keys_pad = np.concatenate([[-1], keys])
+        src = 'cam' if dataset.startswith('DeepGlobe') else 'high_res'
+        cam = cam_dict[src]
+        if dataset.startswith('DeepGlobe'):
+            h4 = img_raw.shape[0] // 4
+            img_j = resize_bilinear(img_j[None], (h4, h4))[0]
+            cam = np.asarray(resize_bilinear(
+                jnp.transpose(jnp.asarray(cam), (1, 2, 0))[None],
+                (h4, h4))[0]).transpose(2, 0, 1)
+        hr = np.pad(cam, ((1, 0), (0, 0), (0, 0)),
+                    constant_values=conf_fg_thres)
+        fg_lab = np.argmax(hr, 0)
+        pred = np.asarray(crf_label_refine(
+            img_j, jnp.asarray(fg_lab), len(keys_pad), cfg))
+        conf = keys_pad[pred].astype(np.int64)
+        conf[conf == -1] = 255
+    return conf.astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Step 4: train_irn
+# ---------------------------------------------------------------------------
+
+def affinity_labels(ir_label_reduced: np.ndarray, path_index: PathIndex,
+                    n_valid_classes: int):
+    """GetAffinityLabelFromIndices (voc12/dataloader.py:108-134).
+
+    ir_label_reduced: [h,w] int (255 = ignore) at the /4 grid.
+    Returns (bg_pos, fg_pos, neg) float32 [P, M]."""
+    src, dst = path_index.pair_indices(ir_label_reduced.shape)
+    flat = ir_label_reduced.reshape(-1)
+    lab_from = flat[src][None]          # [1,M]
+    lab_to = flat[dst]                  # [P,M]
+    valid = (lab_from < n_valid_classes) & (lab_to < n_valid_classes)
+    equal = lab_from == lab_to
+    pos = equal & valid
+    bg_pos = (pos & (lab_from == 0)).astype(np.float32)
+    fg_pos = (pos & (lab_from > 0)).astype(np.float32)
+    neg = (~equal & valid).astype(np.float32)
+    return bg_pos, fg_pos, neg
+
+
+class IRNTrainer:
+    """train_irn step (train_irn.py:14-168): affinity + displacement
+    losses, PolyOptimizer with dp-head lr x10, post-training displacement
+    mean calibration."""
+
+    def __init__(self, backbone: str, num_classes: int, crop_size: int,
+                 radius: int = 10, lr: float = 0.1,
+                 weight_decay: float = 1e-4, max_step: int = 1000):
+        self.net = IRNet(backbone=backbone)
+        self.crop_size = crop_size
+        self.path_index = PathIndex(radius)
+        grid = (crop_size // 4, crop_size // 4)
+        self.grid = grid
+        self.gather_idx = self.path_index.path_gather_indices(grid)
+        self.disp_target = jnp.asarray(
+            self.path_index.search_dst.T[None, :, :, None],
+            jnp.float32)  # [1,2,P,1]
+        rf = self.path_index.radius_floor
+        self.crop_hw = (grid[0] - rf, grid[1] - 2 * rf)
+        sched = poly_decay(lr, max_step)
+
+        def label_fn(path, _):
+            names = [getattr(p, 'key', str(p)) for p in path]
+            if any(n.startswith('fc_dp') for n in names):
+                return 'dp'          # lr x10 (train_irn.py:89)
+            if any(n.startswith('fc_edge') for n in names):
+                return 'edge'
+            return 'frozen'
+
+        self._label_fn = label_fn
+        self.tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.multi_transform(
+                {'edge': optax.sgd(sched, momentum=0.9),
+                 'dp': optax.chain(optax.scale(10.0),
+                                   optax.sgd(sched, momentum=0.9)),
+                 'frozen': optax.set_to_zero()},
+                lambda params: jax.tree_util.tree_map_with_path(
+                    label_fn, params)),
+        )
+
+    def init(self, rng):
+        x = jnp.zeros((1, self.crop_size, self.crop_size, 3))
+        variables = jax.jit(self.net.init)(rng, x)
+        return variables, self.tx.init(variables['params'])
+
+    def _pair_displacement(self, disp):
+        """to_pair_displacement (vgg16_irn.py:264-283). disp: [B,h,w,2].
+        Returns [B,2,P,M]."""
+        rf = self.path_index.radius_floor
+        ch, cw = self.crop_hw
+        d = jnp.transpose(disp, (0, 3, 1, 2))          # [B,2,h,w]
+        src = d[:, :, :ch, rf:rf + cw].reshape(d.shape[0], 2, 1, -1)
+        dsts = [d[:, :, dy:dy + ch, rf + dx:rf + dx + cw]
+                for dy, dx in self.path_index.search_dst]
+        dst = jnp.stack(dsts, axis=2).reshape(d.shape[0], 2,
+                                              len(dsts), -1)
+        return src - dst
+
+    def losses(self, variables, imgs_norm, bg_pos, fg_pos, neg):
+        """train_irn.py:112-125."""
+        edge, disp = self.net.apply(variables, imgs_norm)
+        b = edge.shape[0]
+        edge_flat = jax.nn.sigmoid(edge[..., 0]).reshape(b, -1)
+        aff = to_affinity(edge_flat, self.gather_idx)   # [B,P,M]
+        pos_aff_loss = -jnp.log(aff + 1e-5)
+        neg_aff_loss = -jnp.log(1.0 + 1e-5 - aff)
+        pair_disp = self._pair_displacement(disp)       # [B,2,P,M]
+        dp_fg_loss = jnp.abs(pair_disp - self.disp_target)
+        dp_bg_loss = jnp.abs(pair_disp)
+
+        bg_pos_l = jnp.sum(bg_pos * pos_aff_loss) / (jnp.sum(bg_pos) + 1e-5)
+        fg_pos_l = jnp.sum(fg_pos * pos_aff_loss) / (jnp.sum(fg_pos) + 1e-5)
+        pos_l = bg_pos_l / 2 + fg_pos_l / 2
+        neg_l = jnp.sum(neg * neg_aff_loss) / (jnp.sum(neg) + 1e-5)
+        dp_fg_l = jnp.sum(dp_fg_loss * fg_pos[:, None]) / (
+            2 * jnp.sum(fg_pos) + 1e-5)
+        dp_bg_l = jnp.sum(dp_bg_loss * bg_pos[:, None]) / (
+            2 * jnp.sum(bg_pos) + 1e-5)
+        total = (pos_l + neg_l) / 2 + (dp_fg_l + dp_bg_l) / 2
+        return total, {'pos_aff': pos_l, 'neg_aff': neg_l,
+                       'dp_fg': dp_fg_l, 'dp_bg': dp_bg_l}
+
+    def train_step(self, variables, opt_state, imgs_norm, bg_pos, fg_pos,
+                   neg):
+        params = variables['params']
+        rest = {k: v for k, v in variables.items() if k != 'params'}
+
+        def f(p):
+            return self.losses({'params': p, **rest}, imgs_norm, bg_pos,
+                               fg_pos, neg)
+
+        (loss, parts), grads = jax.value_and_grad(f, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {'params': params, **rest}, opt_state, dict(parts,
+                                                           total=loss)
+
+    def jitted_step(self):
+        return jax.jit(self.train_step)
+
+    def calibrate_disp_mean(self, variables, img_batches) -> np.ndarray:
+        """Displacement mean over an inference set (train_irn.py:152-165)."""
+        means = []
+        fwd = jax.jit(lambda v, x: self.net.apply(v, x))
+        for imgs in img_batches:
+            _, disp = fwd(variables, jnp.asarray(imgs, jnp.float32))
+            means.append(np.asarray(jnp.mean(disp, axis=(0, 1, 2))))
+        return np.mean(np.stack(means), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Step 5: make_sem_seg
+# ---------------------------------------------------------------------------
+
+def make_sem_seg(edge: jnp.ndarray, cam_dict: Dict[str, np.ndarray],
+                 dataset: str, orig_hw: Tuple[int, int],
+                 beta: float = 10.0, exp_times: int = 8,
+                 sem_seg_bg_thres: float = 0.25) -> np.ndarray:
+    """step/make_sem_seg_labels.py:40-140 — random-walk propagation.
+
+    edge: [h,w] sigmoid edge map on the CAM grid (resized by caller if
+    needed).  Returns the label map at the dataset's output resolution.
+    """
+    keys = cam_dict['keys']
+    if keys.size == 0:
+        if dataset.startswith('DeepGlobe'):
+            return np.full((orig_hw[0] // 4, orig_hw[1] // 4), 5, np.uint8)
+        return np.zeros(orig_hw, np.uint8)
+    cam = jnp.asarray(cam_dict['cam'])
+    if dataset.startswith('DeepGlobe'):
+        # extra /6 downsample (make_sem_seg_labels.py:101-104)
+        h6 = max(cam.shape[1] // 6, 4)
+        w6 = max(cam.shape[2] // 6, 4)
+        cam = jnp.transpose(resize_bilinear(
+            jnp.transpose(cam, (1, 2, 0))[None], (h6, w6))[0], (2, 0, 1))
+    if edge.shape != cam.shape[1:]:
+        edge = resize_bilinear(edge[None, ..., None],
+                               cam.shape[1:])[0, ..., 0]
+    rw = propagate_to_edge(cam, edge, beta=beta, exp_times=exp_times,
+                           radius=5)
+    if dataset == 'VOC2012':
+        keys_pad = np.pad(keys + 1, (1, 0), mode='constant')
+        rw_up = resize_bilinear(
+            jnp.transpose(rw, (1, 2, 0))[None], orig_hw)[0]
+        rw_up = rw_up / jnp.max(rw_up)
+        rw_bg = jnp.concatenate(
+            [jnp.full(orig_hw + (1,), sem_seg_bg_thres), rw_up], axis=-1)
+        pred = np.asarray(jnp.argmax(rw_bg, -1))
+        return keys_pad[pred].astype(np.uint8)
+    if dataset.startswith('DeepGlobe'):
+        out_hw = (orig_hw[0] // 4, orig_hw[1] // 4)
+    else:
+        out_hw = orig_hw
+    rw_up = resize_bilinear(jnp.transpose(rw, (1, 2, 0))[None], out_hw)[0]
+    rw_up = rw_up / jnp.max(rw_up)
+    pred = np.asarray(jnp.argmax(rw_up, -1))
+    return keys[pred].astype(np.uint8)

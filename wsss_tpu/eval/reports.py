@@ -1,0 +1,121 @@
+"""Evaluation artifact writers: colorized masks, overlays, IoU tables,
+confusion heatmaps, and the cross-method results aggregator.
+
+Covers the reference's outputs: colorized prediction PNGs + overlays
+(02_cues/demo.py:466-477, make_sem_seg_labels.py:121-140), per-class IoU
+csv (eval_cam.py:110-111, eval_sem_seg.py:60-61), metric tables
+(01_train/utilities.py:181-222 — xlsx there, csv here: openpyxl is not in
+this image and csv is what scripts/extract_eval.py parses anyway),
+confusion heatmaps (01_train/utilities.py:223-284, 03a model.py:746-779),
+and scripts/extract_eval.py:1-100 (the method x dataset mIoU table).
+"""
+from __future__ import annotations
+
+import csv
+import os
+import re
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def colorize(labels: np.ndarray, palette: np.ndarray,
+             ignore_label: int = 255) -> np.ndarray:
+    """Index map [H,W] -> RGB uint8 via the dataset palette; ignore=black."""
+    pal = np.asarray(palette, np.uint8)
+    out = np.zeros(labels.shape + (3,), np.uint8)
+    valid = labels != ignore_label
+    out[valid] = pal[np.clip(labels[valid], 0, len(pal) - 1)]
+    return out
+
+
+def overlay(img: np.ndarray, color_mask: np.ndarray,
+            r: float = 0.75) -> np.ndarray:
+    """(1-r)*img + r*mask (make_sem_seg_labels.py:135-138); r per dataset:
+    VOC 0.75, DeepGlobe 0.25 (02_cues/demo.py:368-371)."""
+    return np.uint8((1 - r) * np.float32(img) + r * np.float32(color_mask))
+
+
+def save_png(path: str, arr: np.ndarray) -> None:
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def write_iou_csv(path: str, class_names: Sequence[str], iou: np.ndarray,
+                  precision: Optional[np.ndarray] = None,
+                  recall: Optional[np.ndarray] = None) -> float:
+    """Per-class IoU (+P/R) csv with a final mIoU row; returns mIoU."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    miou = float(np.nanmean(iou))
+    with open(path, 'w', newline='') as f:
+        w = csv.writer(f)
+        header = ['class', 'iou'] + \
+            (['precision', 'recall'] if precision is not None else [])
+        w.writerow(header)
+        for i, name in enumerate(class_names):
+            row = [name, f'{float(iou[i]):.5f}']
+            if precision is not None:
+                row += [f'{float(precision[i]):.5f}',
+                        f'{float(recall[i]):.5f}']
+            w.writerow(row)
+        w.writerow(['miou', f'{miou:.5f}'])
+    return miou
+
+
+def write_metrics_csv(path: str, class_names: Sequence[str],
+                      metrics: Dict[str, np.ndarray]) -> None:
+    """Thresholded classification metrics table
+    (01_train/utilities.py:181-222 semantics, csv format)."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'w', newline='') as f:
+        w = csv.writer(f)
+        w.writerow(['class'] + list(metrics))
+        for i, name in enumerate(class_names):
+            w.writerow([name] + [f'{float(v[i]):.5f}'
+                                 for v in metrics.values()])
+
+
+def confusion_heatmap(path: str, conf: np.ndarray,
+                      class_names: Sequence[str],
+                      normalize: bool = True) -> None:
+    """Row-normalized confusion heatmap PNG (utilities.py:223-284)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    conf = np.asarray(conf, np.float64)
+    if normalize:
+        conf = conf / np.maximum(conf.sum(1, keepdims=True), 1e-12)
+    fig, ax = plt.subplots(
+        figsize=(max(4, len(class_names) * 0.4),) * 2)
+    im = ax.imshow(conf, cmap='viridis')
+    ax.set_xticks(range(len(class_names)))
+    ax.set_yticks(range(len(class_names)))
+    ax.set_xticklabels(class_names, rotation=90, fontsize=6)
+    ax.set_yticklabels(class_names, fontsize=6)
+    ax.set_xlabel('Predicted')
+    ax.set_ylabel('Ground truth')
+    fig.colorbar(im)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def extract_eval(eval_root: str) -> List[Dict[str, str]]:
+    """Aggregate all `*_iou.csv` mIoU rows under eval_root into one table
+    (scripts/extract_eval.py:1-100).  Returns list of
+    {method, run, miou} rows, printed as a DataFrame by the CLI."""
+    rows = []
+    for dirpath, _, files in os.walk(eval_root):
+        for fn in files:
+            if not fn.endswith('_iou.csv'):
+                continue
+            with open(os.path.join(dirpath, fn)) as f:
+                for line in f:
+                    m = re.match(r'miou,([0-9.]+)', line.strip())
+                    if m:
+                        rel = os.path.relpath(dirpath, eval_root)
+                        rows.append({'run': os.path.join(rel, fn),
+                                     'miou': m.group(1)})
+    return rows

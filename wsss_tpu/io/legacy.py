@@ -1,0 +1,193 @@
+"""Legacy weight bridge: Keras .h5 / .mat -> flax params.
+
+Rebuilds the reference's Keras->torch import path
+(03b_irn/net/common_cnn.py:25-82): weights are consumed *in model order*
+and poured into the target network's conv/BN/dense leaves, with the
+weight-count assert (common_cnn.py:51-52) kept as the conversion unit
+test.  Keras Conv2D kernels are HWIO — flax's native layout — so unlike
+the torch bridge no transposes are needed; Dense kernels are (in, out) in
+both.  `.mat` thresholds are clamped to >= 1/3 like common_cnn.py:39.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def read_keras_h5(path: str) -> List[np.ndarray]:
+    """Flat weight list in Keras layer order from a `model.save_weights`
+    style h5 (groups per layer, 'weight_names' attributes)."""
+    import h5py
+    out: List[np.ndarray] = []
+    with h5py.File(path, 'r') as f:
+        root = f['model_weights'] if 'model_weights' in f else f
+        layer_names = [n.decode() if isinstance(n, bytes) else n
+                       for n in root.attrs.get('layer_names', list(root))]
+        for lname in layer_names:
+            g = root[lname]
+            wnames = [n.decode() if isinstance(n, bytes) else n
+                      for n in g.attrs.get('weight_names', [])]
+            if not wnames:   # fallback: walk datasets
+                def visit(name, obj):
+                    import h5py as _h
+                    if isinstance(obj, _h.Dataset):
+                        wnames.append(name)
+                g.visititems(visit)
+            for wn in wnames:
+                out.append(np.asarray(g[wn]))
+    return out
+
+
+import re as _re
+
+
+def _module_sort_key(mod: str):
+    """Definition-order sort key for a module path.
+
+    flax dicts iterate alphabetically, which puts BatchNorm_0 before
+    Conv_0; the reference order inside a stage is conv -> relu -> bn
+    (common_cnn.py:136-138), i.e. Conv_i then BatchNorm_i.  Natural-sort
+    each component, with auto-named Conv_k/BatchNorm_k interleaved as
+    (k, conv-first)."""
+    key = []
+    for comp in mod.split('/'):
+        m = _re.fullmatch(r'(Conv|Dense)_(\d+)', comp)
+        if m:
+            key.append((int(m.group(2)), 0, ''))
+            continue
+        m = _re.fullmatch(r'BatchNorm_(\d+)', comp)
+        if m:
+            key.append((int(m.group(1)), 1, ''))
+            continue
+        m = _re.fullmatch(r'([A-Za-z_]+?)(\d+)(.*)', comp)
+        if m:
+            key.append((int(m.group(2)), 2, m.group(1) + m.group(3)))
+        else:
+            # un-numbered components (e.g. 'head') come after numbered
+            # siblings (layer1..layerN precede the classifier head)
+            key.append((10 ** 9, 2, comp))
+    return key
+
+
+def _group_modules(tree: Any) -> Tuple[Dict[str, Dict[str, Tuple]],
+                                       List[str]]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    by_module: Dict[str, Dict[str, Tuple]] = {}
+    for path, leaf in flat:
+        keys = [getattr(p, 'key', str(p)) for p in path]
+        mod = '/'.join(keys[:-1])
+        by_module.setdefault(mod, {})[keys[-1]] = (tuple(path), leaf)
+    order = sorted(by_module, key=_module_sort_key)
+    return by_module, order
+
+
+def _conv_bn_dense_slots(params: Any) -> List[Tuple[Tuple, str]]:
+    """Assignment slots in definition order: for each Conv/Dense module
+    (kernel[, bias]), for each BatchNorm (scale, bias) — matching Keras'
+    per-layer weight order [kernel, bias] / [gamma, beta, mean, var]."""
+    by_module, order = _group_modules(params)
+    slots = []
+    for mod in order:
+        leaves = by_module[mod]
+        if 'kernel' in leaves:
+            slots.append(leaves['kernel'])
+            if 'bias' in leaves:
+                slots.append(leaves['bias'])
+        elif 'scale' in leaves:   # BatchNorm params: gamma, beta
+            slots.append(leaves['scale'])
+            slots.append(leaves['bias'])
+    return slots
+
+
+def _bn_stat_slots(batch_stats: Any) -> List[Tuple[Tuple, Any]]:
+    by_module, order = _group_modules(batch_stats)
+    slots = []
+    for mod in order:
+        slots.append(by_module[mod]['mean'])
+        slots.append(by_module[mod]['var'])
+    return slots
+
+
+def load_keras_weights_into(variables: Dict, weights: List[np.ndarray]
+                            ) -> Dict:
+    """Pour a Keras-ordered weight list into flax variables.
+
+    Keras serializes per layer: Conv/Dense -> [kernel, bias];
+    BatchNorm -> [gamma, beta, moving_mean, moving_var].  Our models
+    declare layers in the same order, so a single in-order walk with
+    interleaving suffices; the total count must match exactly
+    (common_cnn.py:51-52).
+    """
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    pslots = _conv_bn_dense_slots(params)
+    sslots = _bn_stat_slots(stats) if stats else []
+
+    # interleave: whenever a BN scale/bias pair is consumed, the next two
+    # Keras arrays are its moving stats
+    assignments: List[Tuple[Tuple, Any, str]] = []
+    si = 0
+    i = 0
+    while i < len(pslots):
+        path, leaf = pslots[i]
+        names = [getattr(p, 'key', str(p)) for p in path]
+        if names[-1] == 'scale':
+            assignments.append((path, leaf, 'params'))
+            assignments.append(pslots[i + 1] + ('params',))
+            assignments.append(sslots[si] + ('stats',))
+            assignments.append(sslots[si + 1] + ('stats',))
+            si += 2
+            i += 2
+        else:
+            assignments.append((path, leaf, 'params'))
+            i += 1
+    if len(assignments) != len(weights):
+        raise ValueError(
+            f'weight count mismatch: model has {len(assignments)} arrays, '
+            f'h5 has {len(weights)} (common_cnn.py:51-52 assert)')
+
+    new_params = params
+    new_stats = stats
+    for (path, leaf, kind), w in zip(assignments, weights):
+        if w.shape != leaf.shape:
+            raise ValueError(f'shape mismatch at {path}: '
+                             f'{w.shape} vs {leaf.shape}')
+        w = w.astype(np.asarray(leaf).dtype)
+        if kind == 'params':
+            new_params = _set_by_path(new_params, path, w)
+        else:
+            new_stats = _set_by_path(new_stats, path, w)
+    out = dict(variables)
+    out['params'] = new_params
+    if stats:
+        out['batch_stats'] = new_stats
+    return out
+
+
+def _set_by_path(tree, path, value):
+    keys = [getattr(p, 'key', str(p)) for p in path]
+
+    def rec(node, ks):
+        node = dict(node)
+        if len(ks) == 1:
+            node[ks[0]] = value
+        else:
+            node[ks[0]] = rec(node[ks[0]], ks[1:])
+        return node
+
+    return rec(tree, keys)
+
+
+def load_thresholds_mat(path: str, num_classes: int,
+                        clamp_min: float = 1.0 / 3.0) -> np.ndarray:
+    """.mat 'optimalScoreThresh', clamped to >= 1/3 (common_cnn.py:39);
+    flat-0.5 fallback when missing (adp_cues.py:118-120)."""
+    import scipy.io as sio
+    if not os.path.exists(path):
+        return np.full((num_classes,), 0.5, np.float32)
+    t = np.asarray(sio.loadmat(path)['optimalScoreThresh'],
+                   np.float32).reshape(-1)[:num_classes]
+    return np.maximum(t, clamp_min)

@@ -288,8 +288,11 @@ class IRNTrainer:
                  weight_decay: float = 1e-4, max_step: int = 1000):
         self.net = IRNet(backbone=backbone)
         self.crop_size = crop_size
-        self.path_index = PathIndex(radius)
         grid = (crop_size // 4, crop_size // 4)
+        # reference geometry: radius 10 on a crop/4 grid (train_irn.py:16);
+        # clamp for tiny debug grids where the crop margin would vanish
+        radius = min(radius, max(2, min(grid) // 2))
+        self.path_index = PathIndex(radius)
         self.grid = grid
         self.gather_idx = self.path_index.path_gather_indices(grid)
         self.disp_target = jnp.asarray(

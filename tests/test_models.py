@@ -78,3 +78,31 @@ def test_irnet_trunk_frozen():
                     for v in jax.tree_util.tree_leaves(v))
     assert trunk_norm == 0.0
     assert head_norm > 0.0
+
+
+def test_resnet50_cam():
+    from wsss_tpu.models.resnet50 import ResNet50CAM
+    m = ResNet50CAM(num_classes=20)
+    x = jnp.zeros((1, 64, 64, 3))
+    vs = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    logits = jax.jit(lambda v, x: m.apply(v, x))(vs, x)
+    assert logits.shape == (1, 20)
+    cam = jax.jit(lambda v, x: m.apply(v, x, method='cam'))(vs, x)
+    # conv1/pool (/4) + stage strides (2,2,2,1) -> /32 grid, stage4 dilated
+    assert cam.shape == (1, 2, 2, 20)
+    assert float(cam.min()) >= 0.0
+
+
+def test_timing_utils():
+    from wsss_tpu.utils.timing import AverageMeter, Timer, MetricsLogger
+    import tempfile, os
+    am = AverageMeter()
+    am.add({'loss': 2.0}); am.add({'loss': 4.0})
+    assert am.pop('loss') == 3.0
+    t = Timer(); t.update_progress(0.5)
+    assert ':' in t.str_estimated_complete()
+    with tempfile.TemporaryDirectory() as d:
+        ml = MetricsLogger(os.path.join(d, 'log.jsonl'))
+        ml.log(1, miou=0.5); ml.log(2, miou=0.6)
+        recs = ml.read()
+        assert len(recs) == 2 and recs[1]['miou'] == 0.6

@@ -36,11 +36,19 @@ import numpy as np
 Array = jax.Array
 
 # Gaussian blur applied inside the bilateral grid, in grid units.  The
-# splat/slice interpolation adds variance per axis (multilinear ~1/6 each
-# side, nearest ~1/12), so the blur sigma is chosen to make the effective
-# end-to-end kernel match exp(-d^2/2 sigma^2); calibrated against the exact
-# O(N^2) reference in tests/test_crf.py.
-_GRID_BLUR_SIGMA = {'multilinear': 0.816, 'nearest': 0.866}
+# splat/slice interpolation adds variance per axis (multilinear ~1/6 per
+# side, nearest ~1/12), so the blur sigma per axis is chosen to make the
+# effective end-to-end kernel match exp(-d^2/2 sigma^2); calibrated
+# against the exact O(N^2) reference in tests/test_crf.py.
+#   'multilinear': 32-corner splat + 32-corner slice (var 1/3/axis)
+#   'nearest':     nearest splat + 32-corner slice   (var 1/4/axis)
+#   'fast':        nearest splat + spatial-bilinear x color-nearest slice
+#                  (spatial var 1/4, color var 1/6)
+_GRID_BLUR_SIGMA = {
+    'multilinear': (0.816,) * 5,
+    'nearest': (0.866,) * 5,
+    'fast': (0.866, 0.866, 0.913, 0.913, 0.913),
+}
 _GRID_BLUR_RADIUS = 2
 
 
@@ -69,6 +77,22 @@ def _sep_conv(x: Array, k: Array, axis: int) -> Array:
 # Exact spatial Gaussian message
 # ---------------------------------------------------------------------------
 
+def _flat_conv_last(x: Array, k: Array, stride: int) -> Array:
+    """1-D conv along a *cell* axis embedded in the flattened trailing dim:
+    shifts are multiples of `stride` elements.  Zero-padded at the ends;
+    intra-dim boundary bleed is absorbed by margin cells (see
+    _grid_shape)."""
+    r = (k.shape[0] - 1) // 2
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 1) + [(r * stride, r * stride)]
+    padded = jnp.pad(x, pad)
+    out = k[0] * jax.lax.dynamic_slice_in_dim(padded, 0, n, -1)
+    for j in range(1, 2 * r + 1):
+        out = out + k[j] * jax.lax.dynamic_slice_in_dim(
+            padded, j * stride, n, -1)
+    return out
+
+
 def _gaussian_filter_raw(x: Array, sxy: float) -> Array:
     """K @ x with K = exp(-|dp|^2/2 sxy^2) (self weight 1), truncated at
     radius ceil(4*sxy). x: [H,W,C]."""
@@ -95,9 +119,15 @@ def gaussian_message(Q: Array, sxy: float,
 
 def _grid_shape(hw: Tuple[int, int], sxy: float, srgb: float,
                 vrange: float = 255.0) -> Tuple[int, ...]:
+    """Grid dims: spatial with 1+2 margin cells, color with 2+2 margins.
+
+    The extra color margins let the color-axis blurs run as shifts of ONE
+    flattened (gr,gg,gb,C) trailing dim — wide in TPU lanes instead of a
+    21-element minor dim — with cross-row bleed landing only in margin
+    cells that are never splatted into nor sliced from."""
     gy = int(np.floor((hw[0] - 1) / sxy)) + 3
     gx = int(np.floor((hw[1] - 1) / sxy)) + 3
-    gc = int(np.floor(vrange / srgb)) + 3
+    gc = int(np.floor(vrange / srgb)) + 5
     return (gy, gx, gc, gc, gc)
 
 
@@ -108,65 +138,93 @@ class BilateralGrid:
     lattice once per image."""
 
     def __init__(self, img: Array, sxy: float, srgb: float,
-                 splat: str = 'nearest'):
-        """splat='nearest': one scatter per filter (nearest-cell splat,
-        multilinear slice) — the fast path.  'multilinear': 32-corner
-        splat, highest fidelity (used by the small-grid training CRF)."""
+                 mode: str = 'fast'):
+        """mode='fast': one scatter + 4 gathers per filter (nearest splat,
+        spatial-bilinear x color-nearest slice).  'nearest': nearest splat
+        + full 32-corner slice.  'multilinear': 32-corner splat + slice,
+        highest fidelity."""
         h, w = img.shape[:2]
         self.hw = (h, w)
-        self.splat = splat
+        self.mode = mode
         self.gshape = _grid_shape((h, w), sxy, srgb)
         self.nflat = int(np.prod(self.gshape))
         yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-        # +1 offset leaves a one-cell margin for the upper corner
+        # spatial offset +1 (one-cell margin for the upper corner); color
+        # offset +2 (two-cell margins both sides — see _grid_shape)
         coords = [jnp.asarray(yy.ravel()) / sxy + 1.0,
                   jnp.asarray(xx.ravel()) / sxy + 1.0,
-                  img[..., 0].reshape(-1) / srgb + 1.0,
-                  img[..., 1].reshape(-1) / srgb + 1.0,
-                  img[..., 2].reshape(-1) / srgb + 1.0]
+                  img[..., 0].reshape(-1) / srgb + 2.0,
+                  img[..., 1].reshape(-1) / srgb + 2.0,
+                  img[..., 2].reshape(-1) / srgb + 2.0]
         lo = [jnp.floor(f).astype(jnp.int32) for f in coords]
         frac = [f - jnp.floor(f) for f in coords]
         strides = np.cumprod((1,) + self.gshape[:0:-1])[::-1]
-        idx, wgt = [], []
-        for corner in range(32):
-            widx = jnp.zeros((h * w,), jnp.int32)
-            wg = jnp.ones((h * w,), jnp.float32)
-            for d in range(5):
-                bit = (corner >> d) & 1
-                widx = widx + (lo[d] + bit) * int(strides[d])
-                wg = wg * (frac[d] if bit else (1.0 - frac[d]))
-            idx.append(widx)
-            wgt.append(wg)
-        self.idx = jnp.stack(idx)      # [32, N] int32
-        self.wgt = jnp.stack(wgt)      # [32, N] f32
-        if splat == 'nearest':
+        if mode == 'fast':
+            # slice corners: 4 spatial bilinear x nearest color
+            color_near = sum(jnp.round(coords[d]).astype(jnp.int32)
+                             * int(strides[d]) for d in range(2, 5))
+            idx, wgt = [], []
+            for corner in range(4):
+                widx = color_near
+                wg = jnp.ones((h * w,), jnp.float32)
+                for d in range(2):
+                    bit = (corner >> d) & 1
+                    widx = widx + (lo[d] + bit) * int(strides[d])
+                    wg = wg * (frac[d] if bit else (1.0 - frac[d]))
+                idx.append(widx)
+                wgt.append(wg)
+        else:
+            idx, wgt = [], []
+            for corner in range(32):
+                widx = jnp.zeros((h * w,), jnp.int32)
+                wg = jnp.ones((h * w,), jnp.float32)
+                for d in range(5):
+                    bit = (corner >> d) & 1
+                    widx = widx + (lo[d] + bit) * int(strides[d])
+                    wg = wg * (frac[d] if bit else (1.0 - frac[d]))
+                idx.append(widx)
+                wgt.append(wg)
+        self.idx = jnp.stack(idx)      # [n_corners, N] int32
+        self.wgt = jnp.stack(wgt)      # [n_corners, N] f32
+        if mode in ('nearest', 'fast'):
             nearest = jnp.zeros((h * w,), jnp.int32)
             for d in range(5):
                 nearest = nearest + jnp.round(coords[d]).astype(
                     jnp.int32) * int(strides[d])
             self.nearest_idx = nearest
-        self.blur_k = jnp.asarray(
-            _blur_kernel1d(_GRID_BLUR_SIGMA[splat], _GRID_BLUR_RADIUS))
+        sigmas = _GRID_BLUR_SIGMA[mode]
+        self.blur_ks = [jnp.asarray(_blur_kernel1d(s, _GRID_BLUR_RADIUS))
+                        for s in sigmas]
 
     def filter(self, x: Array) -> Array:
         """Approximate K @ x. x: [H,W,C]."""
         h, w = self.hw
         c = x.shape[-1]
+        gy, gx, gr, gg, gb = self.gshape
         vals = x.reshape(-1, c)
         grid = jnp.zeros((self.nflat, c), x.dtype)
-        if self.splat == 'nearest':
+        if self.mode in ('nearest', 'fast'):
             grid = grid.at[self.nearest_idx].add(vals)
         else:
             grid = grid.at[self.idx.reshape(-1)].add(
                 (self.wgt[..., None] * vals[None]).reshape(-1, c))
-        g = grid.reshape(self.gshape + (c,))
-        for axis in range(5):
-            g = _sep_conv(g, self.blur_k, axis)
+        # Blur with a [gy, gx, gr*gg*gb*C] layout: the color-axis convs
+        # are strided shifts of the big trailing dim (full lane width);
+        # cross-row bleed lands in the 2-cell color margins (never
+        # splatted into / sliced from, so zero-pad semantics hold for all
+        # interior cells).
+        f = gr * gg * gb * c
+        g = grid.reshape(gy, gx, f)
+        g = _sep_conv(g, self.blur_ks[0], 0)
+        g = _sep_conv(g, self.blur_ks[1], 1)
+        for k, stride in zip(self.blur_ks[2:],
+                             (gg * gb * c, gb * c, c)):  # gr, gg, gb
+            g = _flat_conv_last(g, k, stride)
         gflat = g.reshape(self.nflat, c)
         # corner-loop accumulation keeps peak memory at [N,C] per step
-        # (a single [32,N,C] gather would dominate HBM under vmap)
+        # (a single [n,N,C] gather would dominate HBM under vmap)
         out = jnp.zeros((h * w, c), x.dtype)
-        for i in range(32):
+        for i in range(self.idx.shape[0]):
             out = out + self.wgt[i][:, None] * gflat[self.idx[i]]
         return out.reshape(h, w, c)
 
@@ -242,15 +300,18 @@ class DenseBilateral:
         return out.reshape(h, w, -1)
 
 
-def make_bilateral(img: Array, sxy: float, srgb: float):
+def make_bilateral(img: Array, sxy: float, srgb: float,
+                   grid_mode: str = 'nearest'):
     """Pick the right bilateral structure: exact dense kernel for small
-    grids, exact direct window for small sxy, 5-D grid otherwise."""
+    grids, exact direct window for small sxy, 5-D grid otherwise.
+    grid_mode: BilateralGrid fidelity/speed tradeoff ('multilinear' |
+    'nearest' | 'fast')."""
     n = img.shape[0] * img.shape[1]
     if n <= 10240:
         return DenseBilateral(img, sxy, srgb)
     if int(np.ceil(3.0 * sxy)) <= 8:
         return DirectBilateral(img, sxy, srgb)
-    return BilateralGrid(img, sxy, srgb)
+    return BilateralGrid(img, sxy, srgb, mode=grid_mode)
 
 
 def _bilateral_filter_raw(x: Array, img: Array, sxy: float, srgb: float

@@ -137,3 +137,19 @@ def test_direct_bilateral_matches_exact():
                                       True).reshape(Q.shape)
         corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
         assert corr > 0.995, (cls.__name__, corr)
+
+
+def test_strategy_selection():
+    """Config-driven structure choice, incl. the ADP srgb=4 case where the
+    dense grid would need tens of GB."""
+    from wsss_tpu.ops.crf.meanfield import (
+        make_bilateral, DenseBilateral, DirectBilateral, BilateralGrid)
+    small = jnp.zeros((32, 32, 3))
+    big = jnp.zeros((224, 224, 3))
+    assert isinstance(make_bilateral(small, 40, 13), DenseBilateral)
+    assert isinstance(make_bilateral(big, 40, 13), BilateralGrid)
+    assert isinstance(make_bilateral(big, 1.7, 13), DirectBilateral)
+    # ADP-func HSN config: bi_sxy=10, bi_srgb=4 -> direct window
+    filt = make_bilateral(big, 10, 4)
+    assert isinstance(filt, DirectBilateral)
+    assert filt.cache is None  # too many offsets to cache weight maps

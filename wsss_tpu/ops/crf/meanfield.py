@@ -239,6 +239,8 @@ class DirectBilateral:
     ceil(3*sxy).  The color weight maps are precomputed once per image.
     """
 
+    _CACHE_BUDGET = 256 * 1024 * 1024  # bytes of precomputed weight maps
+
     def __init__(self, img: Array, sxy: float, srgb: float):
         self.r = int(np.ceil(3.0 * sxy))
         offs, wspace = [], []
@@ -248,21 +250,32 @@ class DirectBilateral:
                 if d2 > (3.0 * sxy) ** 2:
                     continue
                 offs.append((dy, dx))
-                wspace.append(np.exp(-0.5 * d2 / (sxy * sxy)))
+                wspace.append(float(np.exp(-0.5 * d2 / (sxy * sxy))))
         self.offs = offs
-        img = img.astype(jnp.float32)
+        self.wspace = wspace
+        self.img = img.astype(jnp.float32)
+        self.srgb = srgb
         h, w = img.shape[:2]
-        self.wmaps = []
-        for (dy, dx), ws in zip(offs, wspace):
-            shifted = _shift2d(img, dy, dx)
-            dI2 = jnp.sum((img - shifted) ** 2, axis=-1)
-            valid = _shift2d(jnp.ones((h, w, 1), jnp.float32), dy, dx)[..., 0]
-            self.wmaps.append(
-                float(ws) * jnp.exp(-0.5 * dI2 / (srgb * srgb)) * valid)
+        # precompute the per-offset color weight maps only when they fit;
+        # otherwise recompute on the fly inside filter() (large-radius
+        # configs like ADP bi_sxy=10 have ~2800 offsets)
+        self.cache = None
+        if len(offs) * h * w * 4 <= self._CACHE_BUDGET:
+            self.cache = [self._wmap(dy, dx, ws)
+                          for (dy, dx), ws in zip(offs, wspace)]
+
+    def _wmap(self, dy, dx, ws):
+        h, w = self.img.shape[:2]
+        shifted = _shift2d(self.img, dy, dx)
+        dI2 = jnp.sum((self.img - shifted) ** 2, axis=-1)
+        valid = _shift2d(jnp.ones((h, w, 1), jnp.float32), dy, dx)[..., 0]
+        return ws * jnp.exp(-0.5 * dI2 / (self.srgb * self.srgb)) * valid
 
     def filter(self, x: Array) -> Array:
         out = jnp.zeros_like(x)
-        for (dy, dx), wm in zip(self.offs, self.wmaps):
+        for i, (dy, dx) in enumerate(self.offs):
+            wm = (self.cache[i] if self.cache is not None
+                  else self._wmap(dy, dx, self.wspace[i]))
             out = out + wm[..., None] * _shift2d(x, dy, dx)
         return out
 
@@ -309,7 +322,17 @@ def make_bilateral(img: Array, sxy: float, srgb: float,
     n = img.shape[0] * img.shape[1]
     if n <= 10240:
         return DenseBilateral(img, sxy, srgb)
-    if int(np.ceil(3.0 * sxy)) <= 8:
+    r = int(np.ceil(3.0 * sxy))
+    n_offsets = np.pi * (3.0 * sxy) ** 2
+    grid_cells = int(np.prod(_grid_shape(img.shape[:2], sxy, srgb)))
+    # direct window when the offset count is tractable OR the color cube
+    # would make the dense grid explode (e.g. ADP bi_srgb=4:
+    # 68^3 color cells x spatial — tens of GB)
+    if r <= 8 or n_offsets <= 3200 or grid_cells > 80_000_000:
+        if n_offsets > 40_000:
+            raise ValueError(
+                f'bilateral config sxy={sxy} srgb={srgb} on {img.shape} is '
+                'intractable for both window and grid structures')
         return DirectBilateral(img, sxy, srgb)
     return BilateralGrid(img, sxy, srgb, mode=grid_mode)
 

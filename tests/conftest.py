@@ -27,3 +27,11 @@ assert jax.default_backend() == 'cpu', (
     'tests must run on the virtual CPU mesh, got '
     f'{jax.default_backend()!r}')
 assert jax.device_count() >= 8, 'expected 8 virtual CPU devices'
+
+# Persistent compilation cache: the suite is compile-bound on the 1-core
+# CPU CI; repeat runs hit the cache.
+import tempfile, pathlib  # noqa: E402
+_cache = pathlib.Path(tempfile.gettempdir()) / 'wsss_tpu_jax_cache'
+_cache.mkdir(exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', str(_cache))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

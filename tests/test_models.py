@@ -38,12 +38,14 @@ def test_build_classifier_dispatch():
 
 
 def test_sec_dsrg_seed_grid():
-    # 321x321 input must land on the 41x41 seed grid (03a model.py:34-35)
-    x = jnp.zeros((1, 321, 321, 3))
-    for cls in (SECNet, DSRGNet):
-        m = cls(num_classes=21)
-        _, logits = _init_apply(m, x)
-        assert logits.shape == (1, 41, 41, 21), cls.__name__
+    # 321x321 input must land on the 41x41 seed grid (03a model.py:34-35);
+    # DSRG shares the trunk, checked at a smaller size (1-core CPU CI)
+    m = SECNet(num_classes=21)
+    _, logits = _init_apply(m, jnp.zeros((1, 321, 321, 3)))
+    assert logits.shape == (1, 41, 41, 21)
+    m = DSRGNet(num_classes=21)
+    _, logits = _init_apply(m, jnp.zeros((1, 161, 161, 3)))
+    assert logits.shape == (1, 21, 21, 21)
     sm = sp_softmax(logits)
     np.testing.assert_allclose(np.asarray(sm.sum(-1)), 1.0, rtol=1e-5)
     assert float(sm.min()) >= 1e-4 * 0.9  # min_prob floor
@@ -106,3 +108,24 @@ def test_timing_utils():
         ml.log(1, miou=0.5); ml.log(2, miou=0.6)
         recs = ml.read()
         assert len(recs) == 2 and recs[1]['miou'] == 0.6
+
+
+def test_m_variant_family():
+    from wsss_tpu.models.backbones import build_classifier, \
+        MVariantClassifier, M_VARIANT_CFGS
+    x = jnp.zeros((1, 64, 64, 3))
+    for name in M_VARIANT_CFGS:
+        if name == 'M7':
+            continue  # dispatches to M7Classifier
+        m = build_classifier(name, 10)
+        assert isinstance(m, MVariantClassifier), name
+        if name != 'M4':
+            continue  # compile one representative variant (1-core CPU CI)
+        vs = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        scores, feats = jax.jit(lambda v, xx: m.apply(v, xx))(vs, x)
+        assert scores.shape == (1, 10), name
+    # VGG16fg / VGG16fg_bn batchnorm switches (01_train/demo.py:24,28-31)
+    fg = build_classifier('VGG16fg', 5)
+    assert fg.batchnorm is False
+    fgbn = build_classifier('VGG16fg_bn', 5)
+    assert fgbn.batchnorm is True

@@ -143,18 +143,77 @@ class M7Classifier(nn.Module):
         return self.head(y).astype(jnp.float32)
 
 
+# The M1-M6 "vgg16_experimental" variants (01_train/demo.py:24) come from
+# the missing model_loader module; their exact definitions are
+# unrecoverable from the checkout.  This family is re-derived as
+# progressively truncated/narrowed VGG trunks with the M7 endpoint exactly
+# matching the recovered definition (03b_irn/net/m7.py:41).
+M_VARIANT_CFGS = {
+    'M1': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 256, 'M'),
+           (512, 512, 512, 'M'), (512, 512, 512)),
+    'M2': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 256, 'M'),
+           (512, 512, 512, 'M')),
+    'M3': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 256, 'M'),
+           (512, 512, 512)),
+    'M4': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 256, 'M'),
+           (384, 384)),
+    'M5': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 256, 'M')),
+    'M6': ((64, 64, 'M'), (128, 128, 'M'), (256, 256, 384)),
+    'M7': M7_CFG[:3],
+}
+
+
+class MVariantClassifier(nn.Module):
+    """Generalized HistoNet M-variant: VGG stages + global-max head."""
+    cfg: Tuple[Tuple[Any, ...], ...]
+    num_classes: int
+    batchnorm: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.stages = [VGGStage(c, batchnorm=self.batchnorm,
+                                dtype=self.dtype) for c in self.cfg]
+        self.dropout = nn.Dropout(0.5)
+        self.head = nn.Dense(self.num_classes, dtype=self.dtype)
+
+    def _trunk(self, x, train):
+        for s in self.stages:
+            x = s(x, train=train)
+        return x
+
+    def __call__(self, x, *, train: bool = False):
+        feats = self._trunk(x, train)
+        y = self.dropout(jnp.max(feats, axis=(1, 2)),
+                         deterministic=not train)
+        logits = self.head(y).astype(jnp.float32)
+        return nn.sigmoid(logits), feats
+
+    def logits(self, x, *, train: bool = False):
+        feats = self._trunk(x, train)
+        y = self.dropout(jnp.max(feats, axis=(1, 2)),
+                         deterministic=not train)
+        return self.head(y).astype(jnp.float32)
+
+
 def build_classifier(model_type: str, num_classes: int,
                      dtype: Dtype = jnp.float32, batchnorm: bool = True):
-    """Factory matching the reference's model tags.
-
-    model_type: 'VGG16' | 'M7' | 'X1.7' (X1.7 = M7 trunk, 51-way head when
-    used on ADP, 03b_irn/net/m7_cam.py:16-18).
+    """Factory matching the reference's model tags
+    (01_train/demo.py:24): 'VGG16'/'VGG16fg' (no bn) / 'VGG16fg_bn',
+    'M1'..'M7', 'X1.7' (= M7 trunk, 51-way head on ADP,
+    03b_irn/net/m7_cam.py:16-18).
     """
     mt = model_type.upper()
     if mt.startswith('VGG16'):
+        bn = batchnorm if mt in ('VGG16', 'VGG16FG_BN') else False
+        if mt == 'VGG16FG_BN':
+            bn = True
         return VGG16Classifier(num_classes=num_classes, dtype=dtype,
-                               batchnorm=batchnorm)
+                               batchnorm=bn)
     if mt in ('M7', 'X1.7'):
         return M7Classifier(num_classes=num_classes, dtype=dtype,
                             batchnorm=batchnorm)
+    if mt in M_VARIANT_CFGS:
+        return MVariantClassifier(cfg=M_VARIANT_CFGS[mt],
+                                  num_classes=num_classes, dtype=dtype,
+                                  batchnorm=batchnorm)
     raise ValueError(f'unknown model_type {model_type!r}')

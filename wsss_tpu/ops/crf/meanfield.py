@@ -197,7 +197,14 @@ class BilateralGrid:
                         for s in sigmas]
 
     def filter(self, x: Array) -> Array:
-        """Approximate K @ x. x: [H,W,C]."""
+        """Approximate K @ x. x: [H,W,C].
+
+        Grid compute runs in bfloat16 (halves the bytes of the scatter /
+        blur / gather phases — all bandwidth/access bound); accumulation
+        back to the caller is float32.  Messages tolerate bf16: they feed
+        a softmax through a compat scale, and parity tests hold."""
+        in_dtype = x.dtype
+        x = x.astype(jnp.bfloat16)
         h, w = self.hw
         c = x.shape[-1]
         gy, gx, gr, gg, gb = self.gshape
@@ -223,10 +230,11 @@ class BilateralGrid:
         gflat = g.reshape(self.nflat, c)
         # corner-loop accumulation keeps peak memory at [N,C] per step
         # (a single [n,N,C] gather would dominate HBM under vmap)
-        out = jnp.zeros((h * w, c), x.dtype)
+        out = jnp.zeros((h * w, c), jnp.float32)
         for i in range(self.idx.shape[0]):
-            out = out + self.wgt[i][:, None] * gflat[self.idx[i]]
-        return out.reshape(h, w, c)
+            out = out + self.wgt[i][:, None] * gflat[
+                self.idx[i]].astype(jnp.float32)
+        return out.reshape(h, w, c).astype(in_dtype)
 
 
 class DirectBilateral:

@@ -27,6 +27,11 @@ def main(argv=None):
                    choices=[None, 'tuning', 'segtest'])
     p.add_argument('--saveimg', action='store_true')
     p.add_argument('--overlay_r', type=float, default=0.75)
+    p.add_argument('--morph_pcc', default=None,
+                   help='learned morph CRF config .npy '
+                        '(03c_hsn/demo.py:379 morph_optimal_pcc.npy)')
+    p.add_argument('--func_pcc', default=None,
+                   help='learned func CRF config .npy')
     args = p.parse_args(argv)
 
     size = common.input_size(args)
@@ -36,7 +41,12 @@ def main(argv=None):
     if args.dataset.startswith('ADP'):
         handle = common.load_handle(
             args, 51 if args.model == 'X1.7' else 31, size)
-        seg = hsn.ADPHSNSegmenter(handle, args.model)
+        cfg_m = (crf_config.load_learned_config(args.morph_pcc)
+                 if args.morph_pcc else None)
+        cfg_f = (crf_config.load_learned_config(args.func_pcc)
+                 if args.func_pcc else None)
+        seg = hsn.ADPHSNSegmenter(handle, args.model, cfg_morph=cfg_m,
+                                  cfg_func=cfg_f)
         split = args.set_name or 'segtest'
         for htt in ('morph', 'func'):
             spec = registry.get(f'ADP-{htt}')

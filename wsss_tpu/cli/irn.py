@@ -243,17 +243,28 @@ def main(argv=None):
     p.add_argument('--infer_split', default='val')
     p.add_argument('--scales', default='1.0,0.5,1.5,2.0')
     p.add_argument('--cam_eval_thres', type=float, default=0.15)
-    p.add_argument('--conf_fg_thres', type=float, default=0.5)
+    p.add_argument('--conf_fg_thres', type=float, default=None,
+                   help='default: the tuned per-dataset value '
+                        '(demo_sem_seg.py:8-18)')
     p.add_argument('--conf_bg_thres', type=float, default=0.05)
     p.add_argument('--irn_crop_size', type=int, default=0)
     p.add_argument('--irn_epochs', type=int, default=1)
     p.add_argument('--irn_lr', type=float, default=0.1)
     p.add_argument('--beta', type=float, default=10.0)
-    p.add_argument('--exp_times', type=int, default=8)
+    p.add_argument('--exp_times', type=int, default=None,
+                   help='default: the tuned per-dataset value')
     p.add_argument('--sem_seg_bg_thres', type=float, default=0.25)
     p.add_argument('--tune', action='store_true',
                    help='demo_tune.py grid: conf_fg_thres then exp_times')
     args = p.parse_args(argv)
+
+    # tuned hyperparameter defaults (demo_sem_seg.py:8-18)
+    from wsss_tpu.ops.crf.config import IRN_TUNED
+    tuned = IRN_TUNED.get((args.dataset, args.model), (0.5, 8))
+    if args.conf_fg_thres is None:
+        args.conf_fg_thres = tuned[0]
+    if args.exp_times is None:
+        args.exp_times = tuned[1]
 
     run_name = f'IRN_{args.dataset}_{args.model}'
     root = os.path.join(args.work_root, run_name)

@@ -71,6 +71,9 @@ def main(argv=None):
     p.add_argument('--eval_split', default='val')
     p.add_argument('--saveimg', action='store_true')
     p.add_argument('--wsss_model_root', default='models_wsss')
+    p.add_argument('--val_every', type=int, default=200,
+                   help='steps between val mIoU evals during training '
+                        '(03a model.py:505-531; 0 = off)')
     args = p.parse_args(argv)
 
     spec = registry.get(args.dataset)
@@ -92,6 +95,26 @@ def main(argv=None):
         print(f'resumed {run_id} from step {st}')
 
     if args.task == 'train':
+        from wsss_tpu.utils.timing import MetricsLogger
+        logger = MetricsLogger(os.path.join('log', run_id, 'train.jsonl'))
+
+        def val_miou():
+            """Periodic raw-FCN val mIoU (03a model.py:505-531)."""
+            vds, _ = common.get_batches(args, args.eval_split, size,
+                                        with_gt=True)
+            fwd = jax.jit(lambda p, x: trainer.predict_logits(p, x))
+            conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+            for vb in vds.batches(args.batchsize, with_gt=True):
+                if vb.gt is None:
+                    continue
+                logits = fwd(params, jnp.asarray(norm(vb.images)))
+                pred = np.asarray(jnp.argmax(resize_bilinear(
+                    logits, vb.gt.shape[1:]), -1))
+                conf0 = metrics.confusion_matrix(
+                    jnp.asarray(pred), jnp.asarray(vb.gt), n_cls)
+                conf = conf + conf0
+            return float(metrics.iou_from_confusion(conf)[1])
+
         cue_dict = _load_cues(args.cues_pickle, None, n_cls)
         ds, _ = common.get_batches(args, args.train_split, size)
         step_fn = trainer.jitted_step()
@@ -123,10 +146,15 @@ def main(argv=None):
                     jnp.asarray(b.images), jnp.asarray(cues),
                     jnp.asarray(labels), jax.random.PRNGKey(step))
                 step += 1
+                logger.log(step, **{k: float(v) for k, v in parts.items()})
                 if args.verbose:
                     msg = ' '.join(f'{k}={float(v):.4f}'
                                    for k, v in parts.items())
                     print(f'epoch {epoch} step {step} {msg}')
+                if args.val_every and step % args.val_every == 0:
+                    miou = val_miou()
+                    logger.log(step, val_miou=miou)
+                    print(f'step {step} val miou {miou:.5f}')
             checkpoint.save_checkpoint(
                 ckpt_root, step, {'params': params,
                                   'opt_state': opt_state})

@@ -93,6 +93,8 @@ def main(argv=None):
     eval_dir = os.path.join(args.eval_root, sid)
     reports.write_metrics_csv(os.path.join(eval_dir, sid + '_metrics.csv'),
                               spec.fg_class_names, m)
+    reports.plot_rocs(os.path.join(eval_dir, sid + '_ROC.png'),
+                      tags, scores, spec.fg_class_names)
 
     out_dir = os.path.join(args.model_root, sid)
     checkpoint.export_triplet(

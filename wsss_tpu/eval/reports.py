@@ -102,6 +102,34 @@ def confusion_heatmap(path: str, conf: np.ndarray,
     plt.close(fig)
 
 
+def plot_rocs(path: str, target: np.ndarray, scores: np.ndarray,
+              class_names: Sequence[str],
+              num_thresholds: int = 256) -> None:
+    """Per-class ROC curves PNG (01_train/utilities.py:167-179)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    th = np.linspace(0, 1, num_thresholds)[:, None, None]
+    pred = scores[None] >= th
+    pos = target[None] > 0.5
+    tp = (pred & pos).sum(1)
+    fp = (pred & ~pos).sum(1)
+    tpr = tp / np.maximum(pos[0].sum(0), 1)
+    fpr = fp / np.maximum((~pos[0]).sum(0), 1)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.plot([0, 1], [0, 1], 'k--', lw=0.5)
+    for i, name in enumerate(class_names):
+        ax.plot(fpr[:, i], tpr[:, i], lw=0.8, label=name)
+    ax.set_xlabel('FPR')
+    ax.set_ylabel('TPR')
+    if len(class_names) <= 24:
+        ax.legend(fontsize=5, ncol=2)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
 def extract_eval(eval_root: str) -> List[Dict[str, str]]:
     """Aggregate all `*_iou.csv` mIoU rows under eval_root into one table
     (scripts/extract_eval.py:1-100).  Returns list of

@@ -65,6 +65,29 @@ def hsn_config(dataset: str, model_type: str = None) -> CRFConfig:
             return HSN_TEST[key]
     raise KeyError(f'no HSN CRF config for {dataset}/{model_type}')
 
+
+def load_learned_config(npy_path: str, iterations: int = 5) -> CRFConfig:
+    """Learned ADP CRF parameters from {morph,func}_optimal_pcc.npy
+    (03c_hsn/demo.py:379-380): a row of [g_sxy, g_compat, bi_sxy, bi_srgb,
+    bi_compat, n_infer]."""
+    import numpy as np
+    row = np.asarray(np.load(npy_path)).reshape(-1)[:6]
+    return CRFConfig(float(row[0]), float(row[1]), float(row[2]),
+                     float(row[3]), float(row[4]), int(row[5]))
+
+
+# --- IRNet tuned hyperparameters shipped with the reference
+# (03b_irn/demo_sem_seg.py:8-18 via BASELINE.md): (conf_fg_thres,
+# exp_times) per dataset x model family.
+IRN_TUNED = {
+    ('ADP-morph', 'VGG16'): (0.5, 2), ('ADP-morph', 'X1.7'): (0.5, 1),
+    ('ADP-func', 'VGG16'): (0.7, 3), ('ADP-func', 'X1.7'): (0.3, 1),
+    ('VOC2012', 'VGG16'): (0.5, 8), ('VOC2012', 'M7'): (0.7, 3),
+    ('DeepGlobe', 'VGG16'): (0.5, 4), ('DeepGlobe', 'M7'): (0.5, 8),
+    ('DeepGlobe_balanced', 'VGG16'): (0.4, 7),
+    ('DeepGlobe_balanced', 'M7'): (0.7, 7),
+}
+
 # --- IRNet ir-label refinement (misc.imutils.crf_inference_label upstream:
 # gaussian sxy=3 compat=3, bilateral sxy=50 srgb=5 compat=10, 10 iters) ---
 IRN_LABEL = CRFConfig(3, 3, 50, 5, 10, 10)

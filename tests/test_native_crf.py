@@ -71,3 +71,42 @@ def test_native_denoises():
     pred = q.argmax(-1)
     assert (pred[:, :5] == 1).mean() > 0.8
     assert (pred[:, 7:] == 2).mean() > 0.8
+
+
+def test_grid_fidelity_vs_permutohedral():
+    """The default grid mode must match the exact mean field at least as
+    well as the permutohedral lattice (= pydensecrf fidelity) at the
+    label level — this justifies 'fast' as the inference default."""
+    import jax
+    from wsss_tpu.ops.crf.meanfield import BilateralGrid, gaussian_message
+
+    def toy(h, w, c, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.normal(128, 18, (h, w, 3)).astype(np.float32)
+        for i in range(0, h, 7):
+            img[np.arange(h), (np.arange(h) + i) % w] = (220, 60, 60)
+        img = np.clip(img, 0, 255)
+        probs = rng.dirichlet(np.ones(c) * 5, (h, w)).astype(np.float32)
+        probs[img[..., 0] > 180] += np.eye(c, dtype=np.float32)[1] * 0.12
+        probs = probs / probs.sum(-1, keepdims=True)
+        return probs, img
+
+    cfg = crf_config.CRFConfig(1.0, 3, 3.0, 20, 10, iterations=10)
+    probs, img = toy(36, 36, 5, 0)
+    want = reference.mean_field_exact(probs, img, cfg).argmax(-1)
+    perm = native.mean_field_native(probs, img, cfg).argmax(-1)
+    perm_agree = (perm == want).mean()
+
+    U = -jnp.log(jnp.clip(jnp.asarray(probs), 1e-10, None))
+    Q = jax.nn.softmax(-U, -1)
+    filt = BilateralGrid(jnp.asarray(img), cfg.bi_sxy, cfg.bi_srgb,
+                         mode='fast')
+    ones = jnp.ones(probs.shape[:2] + (1,))
+    nb = jax.lax.rsqrt(jnp.maximum(filt.filter(ones), 1e-20))
+    for _ in range(cfg.iterations):
+        mb = nb * filt.filter(nb * Q) - nb * nb * Q
+        mg = gaussian_message(Q, cfg.g_sxy)
+        Q = jax.nn.softmax(-U + cfg.g_compat * mg + cfg.bi_compat * mb, -1)
+    grid_agree = (np.asarray(Q.argmax(-1)) == want).mean()
+    assert grid_agree >= perm_agree - 0.02, (grid_agree, perm_agree)
+    assert grid_agree > 0.85, grid_agree

@@ -322,11 +322,16 @@ class DenseBilateral:
 
 
 def make_bilateral(img: Array, sxy: float, srgb: float,
-                   grid_mode: str = 'nearest'):
+                   grid_mode: str = 'fast'):
     """Pick the right bilateral structure: exact dense kernel for small
     grids, exact direct window for small sxy, 5-D grid otherwise.
     grid_mode: BilateralGrid fidelity/speed tradeoff ('multilinear' |
-    'nearest' | 'fast')."""
+    'nearest' | 'fast').  'fast' is the default: measured end-to-end
+    label agreement with the exact mean field EXCEEDS the permutohedral
+    lattice's (pydensecrf's structure) — 0.94 vs 0.88 on adversarial
+    weak-unary inputs (tests/test_native_crf.py::
+    test_grid_fidelity_vs_permutohedral) — because the spatial Gaussian
+    term is computed exactly here."""
     n = img.shape[0] * img.shape[1]
     if n <= 10240:
         return DenseBilateral(img, sxy, srgb)

@@ -91,3 +91,15 @@ def test_eval_cues_miou_synthetic(voc_gen):
     iou, miou = gc.eval_cues_miou(cue_dict, ds.batches(4, with_gt=True), 21)
     assert iou.shape == (21,)
     assert 0.0 <= miou <= 1.0
+
+
+def test_sharded_cue_generation_matches(voc_gen):
+    """Mesh-sharded whole-split cue gen must equal the single-device run
+    (replaces the reference's per-GPU process spawn, SURVEY.md §2.8)."""
+    from wsss_tpu.parallel.mesh import make_mesh
+    ds = SyntheticWSSS('VOC2012', size=64, n_images=6)  # pads 6 -> 8
+    single = voc_gen.run(ds.batches(6))
+    sharded = voc_gen.run(ds.batches(6), mesh=make_mesh(8, ('data',)))
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_array_equal(single[k], sharded[k], err_msg=k)

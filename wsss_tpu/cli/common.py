@@ -30,16 +30,20 @@ def load_settings(path: str = 'settings.ini') -> dict:
 
 
 def add_common_args(p: argparse.ArgumentParser):
+    ini = load_settings()
     p.add_argument('--dataset', default='VOC2012',
                    choices=sorted(registry.REGISTRY))
     p.add_argument('--model', default='VGG16',
-                   choices=['VGG16', 'M7', 'X1.7'])
+                   choices=['VGG16', 'VGG16fg', 'VGG16fg_bn', 'M1', 'M2',
+                            'M3', 'M4', 'M5', 'M6', 'M7', 'X1.7'])
     p.add_argument('--batchsize', type=int, default=8)
-    p.add_argument('--data_root', default=None,
-                   help='devkit root (falls back to synthetic data)')
+    p.add_argument('--data_root', default=ini.get('data_dir'),
+                   help='devkit root (settings.ini data_dir; falls back '
+                        'to synthetic data)')
     p.add_argument('--out_root', default='out')
     p.add_argument('--eval_root', default='eval')
-    p.add_argument('--model_root', default='models_cnn')
+    p.add_argument('--model_root', default=ini.get('model_cnn_dir',
+                                                   'models_cnn'))
     p.add_argument('--synthetic_n', type=int, default=16,
                    help='synthetic dataset size when no devkit exists')
     p.add_argument('--img_size', type=int, default=0,

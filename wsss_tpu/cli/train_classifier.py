@@ -29,6 +29,11 @@ from wsss_tpu.train.classifier import ClassifierTrainer
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     common.add_common_args(p)
+    p.add_argument('--task', default='train',
+                   choices=['train', 'predict'],
+                   help='predict = calibrate/evaluate from the latest '
+                        'checkpoint without training (01_train/demo.py '
+                        'predict(), :129-213)')
     p.add_argument('--epochs', type=int, default=1)
     p.add_argument('--lr', type=float, default=0.01)
     p.add_argument('--schedule', default='clr',
@@ -51,17 +56,25 @@ def main(argv=None):
     sid = common.sess_id(args)
     ckpt_root = os.path.join(args.model_root, sid, 'ckpt')
     start_step = 0
-    if args.resume and checkpoint.latest_step(ckpt_root) is not None:
-        state, start_step = checkpoint.restore_checkpoint(
-            ckpt_root, {'params': params, 'model_state': model_state,
-                        'opt_state': opt_state})
-        params, model_state, opt_state = (
-            state['params'], state['model_state'], state['opt_state'])
+    if ((args.resume or args.task == 'predict')
+            and checkpoint.latest_step(ckpt_root) is not None):
+        if args.task == 'predict':
+            # raw restore: the optimizer-state structure depends on the
+            # training schedule and is irrelevant for prediction
+            state, start_step = checkpoint.restore_checkpoint(ckpt_root)
+            params, model_state = state['params'], state['model_state']
+        else:
+            state, start_step = checkpoint.restore_checkpoint(
+                ckpt_root, {'params': params, 'model_state': model_state,
+                            'opt_state': opt_state})
+            params, model_state, opt_state = (
+                state['params'], state['model_state'],
+                state['opt_state'])
         print(f'resumed from step {start_step}')
 
     step_fn = trainer.jitted_step()
     step = start_step
-    for epoch in range(args.epochs):
+    for epoch in range(args.epochs if args.task == 'train' else 0):
         for b in ds.batches(args.batchsize):
             if b.images.shape[0] != args.batchsize:
                 continue  # static shapes: drop ragged tail

@@ -44,16 +44,22 @@ def latest_step(root: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_checkpoint(root: str, target: Any,
+def restore_checkpoint(root: str, target: Any = None,
                        step: Optional[int] = None) -> Tuple[Any, int]:
-    """Restore the given (or latest) step into `target`'s structure."""
+    """Restore the given (or latest) step.
+
+    target=None returns the raw tree (dicts/arrays) — use when only part
+    of the state matters (e.g. predict needs params but not the optimizer
+    state, whose structure varies with the training schedule)."""
     import orbax.checkpoint as ocp
     if step is None:
         step = latest_step(root)
         if step is None:
             raise FileNotFoundError(f'no checkpoints under {root}')
     ckptr = ocp.StandardCheckpointer()
-    state = ckptr.restore(os.path.abspath(_ckpt_dir(root, step)), target)
+    path = os.path.abspath(_ckpt_dir(root, step))
+    state = ckptr.restore(path) if target is None else \
+        ckptr.restore(path, target)
     return state, step
 
 

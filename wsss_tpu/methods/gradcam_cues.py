@@ -133,11 +133,25 @@ class VOCDeepGlobeCueGenerator:
         off = 1 if self.spec.uses_bg_net else 0
         return [np.where(np.asarray(p))[0] + off for p in is_pass]
 
-    def run(self, batches, verbose: bool = False) -> Dict[str, np.ndarray]:
-        """Full-split cue generation -> pickle-format dict."""
+    def run(self, batches, verbose: bool = False,
+            mesh=None) -> Dict[str, np.ndarray]:
+        """Full-split cue generation -> pickle-format dict.
+
+        mesh: optional jax.sharding.Mesh — shards each batch over the
+        'data' axis so whole-split generation runs data-parallel across
+        chips (the reference's per-GPU process spawn, SURVEY.md §2.8,
+        as one program)."""
         out: Dict[str, np.ndarray] = {}
         for b in batches:
-            onehot, is_pass = self.generate_batch(b.images, b.tags)
+            if mesh is not None:
+                from wsss_tpu.parallel.mesh import shard_batch
+                (imgs, tags), b0 = shard_batch(
+                    mesh, b.images.astype(np.float32),
+                    b.tags.astype(np.float32))
+                onehot, is_pass = self._batch_fn(imgs, tags)
+                onehot, is_pass = onehot[:b0], is_pass[:b0]
+            else:
+                onehot, is_pass = self.generate_batch(b.images, b.tags)
             artifacts.pack_cues(np.asarray(onehot),
                                 self.class_inds(np.asarray(is_pass)),
                                 list(b.indices), out)

@@ -46,8 +46,15 @@ def main():
     imgs = [rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)
             for _ in range(n_batches)]
 
-    # warmup/compile
-    _ = np.asarray(seg.segment_batch(imgs[0]))
+    # warmup/compile — the axon remote compile helper intermittently
+    # fails with HTTP 500; retry once before giving up
+    for attempt in range(2):
+        try:
+            _ = np.asarray(seg.segment_batch(imgs[0]))
+            break
+        except Exception:
+            if attempt == 1:
+                raise
 
     t0 = time.time()
     outs = [seg.segment_batch(im) for im in imgs]

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Dict, List
-
 import jax
 import jax.numpy as jnp
 import numpy as np

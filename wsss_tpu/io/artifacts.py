@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Iterable, Mapping, Optional, Sequence
+from typing import Dict, Mapping, Optional, Sequence
 
 import numpy as np
 

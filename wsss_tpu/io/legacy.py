@@ -11,7 +11,7 @@ both.  `.mat` thresholds are clamped to >= 1/3 like common_cnn.py:39.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import numpy as np

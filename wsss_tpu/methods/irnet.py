@@ -16,9 +16,8 @@ a batched jitted program (shard the batch over a mesh for multi-chip).
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,11 +26,11 @@ import optax
 
 from wsss_tpu.data import registry
 from wsss_tpu.methods.gradcam_cues import _ClassifierHandle, _normalizer
-from wsss_tpu.models.irn import IRNet, edge_displacement_inference
+from wsss_tpu.models.irn import IRNet
 from wsss_tpu.ops import cues as cue_ops
 from wsss_tpu.ops.crf import config as crf_config
 from wsss_tpu.ops.crf.meanfield import crf_label_refine
-from wsss_tpu.ops.filters import resize_bilinear, resize_nearest
+from wsss_tpu.ops.filters import resize_bilinear
 from wsss_tpu.ops.random_walk import PathIndex, propagate_to_edge, \
     to_affinity
 from wsss_tpu.train.schedules import poly_decay

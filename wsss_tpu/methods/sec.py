@@ -15,7 +15,6 @@ dense-exact CRF path runs fully in-graph on the MXU.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax

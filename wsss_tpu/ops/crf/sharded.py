@@ -17,9 +17,6 @@ structure is global in color and is not sharded here.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,9 +7,6 @@ step-decay schedules, batch-F1 metric (utilities.py:69-97).
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import optax

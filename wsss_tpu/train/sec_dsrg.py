@@ -15,10 +15,9 @@ step (SURVEY.md §3.2).
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from wsss_tpu.methods.dsrg import dsrg_losses

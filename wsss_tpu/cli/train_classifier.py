@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument('--train_split', default='train')
     p.add_argument('--val_split', default='val')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--profile_dir', default=None,
+                   help='write a jax.profiler trace of the first train '
+                        'steps here (replaces the reference\'s wall-clock '
+                        'prints, SURVEY.md §5.1)')
     args = p.parse_args(argv)
 
     spec = registry.get(args.dataset)
@@ -72,8 +76,11 @@ def main(argv=None):
                 state['opt_state'])
         print(f'resumed from step {start_step}')
 
+    from wsss_tpu.utils.timing import profile_trace
     step_fn = trainer.jitted_step()
     step = start_step
+    prof = profile_trace(args.profile_dir)
+    prof.__enter__()
     for epoch in range(args.epochs if args.task == 'train' else 0):
         for b in ds.batches(args.batchsize):
             if b.images.shape[0] != args.batchsize:
@@ -90,6 +97,7 @@ def main(argv=None):
         checkpoint.save_checkpoint(
             ckpt_root, step, {'params': params, 'model_state': model_state,
                               'opt_state': opt_state})
+    prof.__exit__(None, None, None)
 
     # --- calibrate thresholds on the validation split ------------------
     val_ds, _ = common.get_batches(args, args.val_split, size)

@@ -160,10 +160,15 @@ VOC2012 = _register(DatasetSpec(
     fg_class_names=VOC_CLASS_NAMES[1:],
     n_bg_channels=1,
     palette=PALETTES['VOC2012'],
-    # 02_cues/dataset.py:65-79 (mean-subtract BGR-order means on RGB image,
-    # then 1/255)
+    # 02_cues/utilities.py:178-180: BGR-order means subtracted from
+    # RGB-read channels (a reference quirk; immaterial when training from
+    # scratch — conv1 absorbs any channel permutation — but preserved for
+    # bit-parity with reference-produced activations), then 1/255
     norm_cues=Normalization(mean=(104.0, 117.0, 123.0), post_scale=1 / 255.),
-    # 03a model.py:117 (BGR mean subtract, image swapped to BGR beforehand)
+    # 03a model.py:117 (the reference swaps images to BGR then subtracts
+    # these means; we keep RGB images, so from-scratch training is the
+    # channel-permuted equivalent — relevant only when importing the
+    # reference's init.npy weights)
     norm_sec=Normalization(mean=(104.00698793, 116.66876762, 122.67891434)),
     # 03b voc12/dataloader.py:80-106 ('int' mode ~ imagenet)
     norm_irn=Normalization(

@@ -280,11 +280,35 @@ class DirectBilateral:
         return ws * jnp.exp(-0.5 * dI2 / (self.srgb * self.srgb)) * valid
 
     def filter(self, x: Array) -> Array:
-        out = jnp.zeros_like(x)
-        for i, (dy, dx) in enumerate(self.offs):
-            wm = (self.cache[i] if self.cache is not None
-                  else self._wmap(dy, dx, self.wspace[i]))
-            out = out + wm[..., None] * _shift2d(x, dy, dx)
+        if self.cache is not None:
+            out = jnp.zeros_like(x)
+            for i, (dy, dx) in enumerate(self.offs):
+                out = out + self.cache[i][..., None] * _shift2d(
+                    x, dy, dx)
+            return out
+        # Large-radius path: scan over offsets (ONE graph copy — the
+        # unrolled loop over ~3k offsets takes minutes to compile),
+        # recomputing the color weight map per offset.
+        h, w = self.img.shape[:2]
+        r = self.r
+        img_p = jnp.pad(self.img, ((r, r), (r, r), (0, 0)))
+        x_p = jnp.pad(x, ((r, r), (r, r), (0, 0)))
+        ones_p = jnp.pad(jnp.ones((h, w, 1), jnp.float32),
+                         ((r, r), (r, r), (0, 0)))
+        offs = jnp.asarray(np.asarray(self.offs, np.int32))
+        ws = jnp.asarray(np.asarray(self.wspace, np.float32))
+        inv2s2 = 0.5 / (self.srgb * self.srgb)
+
+        def body(acc, inp):
+            (dy, dx), w_sp = inp
+            sl = lambda a: jax.lax.dynamic_slice(
+                a, (r + dy, r + dx, 0), (h, w, a.shape[2]))
+            dI2 = jnp.sum((self.img - sl(img_p)) ** 2, axis=-1)
+            wm = w_sp * jnp.exp(-dI2 * inv2s2) * sl(ones_p)[..., 0]
+            return acc + wm[..., None] * sl(x_p), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros_like(x),
+                              ((offs[:, 0], offs[:, 1]), ws))
         return out
 
 

@@ -170,9 +170,11 @@ class CAMInference:
                 if c in (registry.ADP_MORPH_CLASSES
                          if self.adp_htt == 'morph'
                          else registry.ADP_FUNC_CLASSES)]))
+            th = np.asarray(self.handle.thresholds)
+            th31 = th[self._maps['x17_to_31']] if self._is_x17 else th
             valid_fg = (np.where(tags > 0.5)[0] if tags is not None else
                         np.where(np.asarray(scores0)[fg31] >=
-                                 np.asarray(self.handle.thresholds)[0])[0])
+                                 th31[fg31])[0])
             keys = np.concatenate([np.arange(nbg), valid_fg + nbg])
         else:
             if tags is not None:

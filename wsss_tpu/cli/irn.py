@@ -295,6 +295,10 @@ def main(argv=None):
             miou = run_eval_sem_seg(args, dirs)
             if miou > best_miou:
                 best_exp, best_miou = exp, miou
+        # tuning TSV (demo_tune.py:41-43,50 contract)
+        os.makedirs('tuning_logs', exist_ok=True)
+        with open(os.path.join('tuning_logs', run_name + '.tsv'), 'a') as f:
+            f.write(f'{best_th}\t{best_exp}\t{best_miou:.5f}\n')
         print(f'[tune] best conf_fg_thres={best_th} '
               f'exp_times={best_exp} miou={best_miou:.5f}')
         return

@@ -26,6 +26,17 @@ from wsss_tpu.train.sec_dsrg import SECDSRGTrainer
 
 SEED_SIZE = 41  # 03a model.py:35
 
+# Per-dataset defaults from the reference's hardcoded sweep
+# (03a_sec-dsrg/demo.py:51-72 via BASELINE.md): (cue threshold, epochs).
+SWEEP_DEFAULTS = {
+    ('ADP-morph', 'SEC'): (0.9, 8), ('ADP-morph', 'DSRG'): (0.9, 8),
+    ('ADP-func', 'SEC'): (0.9, 8), ('ADP-func', 'DSRG'): (0.9, 8),
+    ('VOC2012', 'SEC'): (0.2, 16), ('VOC2012', 'DSRG'): (0.2, 6),
+    ('DeepGlobe', 'SEC'): (0.3, 100), ('DeepGlobe', 'DSRG'): (0.3, 100),
+    ('DeepGlobe_balanced', 'SEC'): (0.4, 100),
+    ('DeepGlobe_balanced', 'DSRG'): (0.4, 100),
+}
+
 
 def _load_cues(path, n_imgs, n_cls):
     if path and os.path.exists(path):
@@ -61,7 +72,12 @@ def main(argv=None):
     p.add_argument('--task', default='train',
                    choices=['train', 'predict'])
     p.add_argument('--method', default='SEC', choices=['SEC', 'DSRG'])
-    p.add_argument('--epochs', type=int, default=1)
+    p.add_argument('--epochs', type=int, default=0,
+                   help='0 = the reference sweep default for the '
+                        'dataset/method (03a demo.py:51-72)')
+    p.add_argument('--threshold', type=float, default=None,
+                   help='cue threshold recorded in the run id (naming '
+                        'parity with 03a; cues are pre-thresholded)')
     p.add_argument('--lr', type=float, default=1e-4)
     p.add_argument('--accum_num', type=int, default=1)
     p.add_argument('--cues_pickle', default=None,
@@ -80,6 +96,11 @@ def main(argv=None):
     n_cls = spec.n_seg_classes
     size = 321 if not args.img_size else args.img_size  # model.py:34
     norm = _normalizer(spec.norm_sec)
+    sweep = SWEEP_DEFAULTS.get((args.dataset, args.method), (0.2, 8))
+    if not args.epochs:
+        args.epochs = sweep[1]
+    if args.threshold is None:
+        args.threshold = sweep[0]
     trainer = SECDSRGTrainer(args.method, args.dataset, n_cls,
                              base_lr=args.lr, accum_num=args.accum_num)
     run_id = f'{args.method}_{args.dataset}_{args.model}'

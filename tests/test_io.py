@@ -111,3 +111,39 @@ def test_thresholds_mat(tmp_path):
     np.testing.assert_allclose(t, [1 / 3, 0.5, 0.9])  # clamped to >= 1/3
     t2 = legacy.load_thresholds_mat(str(tmp_path / 'missing.mat'), 3)
     np.testing.assert_allclose(t2, [0.5, 0.5, 0.5])
+
+
+def test_deeplab_init_npy(tmp_path):
+    """Reference init.npy contract -> SECNet params (03a model.py:78-81)."""
+    from wsss_tpu.models import SECNet
+    net = SECNet(num_classes=4)
+    vs = jax.jit(net.init)(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 72, 72, 3)))
+    params = vs['params']
+    rng = np.random.default_rng(0)
+    init = {}
+    for stage, (n, w) in enumerate([(2, 64), (2, 128), (3, 256),
+                                    (3, 512), (3, 512)], start=1):
+        for i in range(1, n + 1):
+            k = params['trunk'][f'conv{stage}_{i}']['kernel']
+            init[f'conv{stage}_{i}'] = {
+                'w': rng.normal(size=k.shape).astype(np.float32),
+                'b': rng.normal(size=k.shape[-1]).astype(np.float32)}
+    for n, shape in (('6', params['head']['fc6']['kernel'].shape),
+                     ('7', params['head']['fc7']['kernel'].shape),
+                     ('8', params['head']['fc8']['kernel'].shape)):
+        init[f'fc{n}'] = {
+            'w': rng.normal(size=shape).astype(np.float32),
+            'b': rng.normal(size=shape[-1]).astype(np.float32)}
+    path = str(tmp_path / 'init.npy')
+    np.save(path, init, allow_pickle=True)
+    new = legacy.load_deeplab_init_npy(path, params)
+    np.testing.assert_array_equal(
+        np.asarray(new['trunk']['conv3_2']['kernel']),
+        init['conv3_2']['w'])
+    np.testing.assert_array_equal(
+        np.asarray(new['head']['fc7']['bias']), init['fc7']['b'])
+    # fc8 stays random-init (SEC.py:329-336)
+    np.testing.assert_array_equal(
+        np.asarray(new['head']['fc8']['kernel']),
+        np.asarray(params['head']['fc8']['kernel']))

@@ -80,6 +80,9 @@ def main(argv=None):
                         'parity with 03a; cues are pre-thresholded)')
     p.add_argument('--lr', type=float, default=1e-4)
     p.add_argument('--accum_num', type=int, default=1)
+    p.add_argument('--init_npy', default=None,
+                   help="reference DeepLab init weights (SEC init.npy / "
+                        "DSRG vgg16_deeplab_aspp.npy, 03a model.py:78-81)")
     p.add_argument('--cues_pickle', default=None,
                    help='localization_cues.pickle from 02_cues; synthetic '
                         'cues from tags when absent')
@@ -109,6 +112,10 @@ def main(argv=None):
     params, opt_state = trainer.init(
         jax.random.PRNGKey(0),
         jnp.zeros((args.batchsize, size, size, 3)))
+    if args.init_npy:
+        from wsss_tpu.io.legacy import load_deeplab_init_npy
+        params = load_deeplab_init_npy(args.init_npy, params)
+        print(f'initialized trunk+head from {args.init_npy}')
     if checkpoint.latest_step(ckpt_root) is not None:
         state, st = checkpoint.restore_checkpoint(
             ckpt_root, {'params': params, 'opt_state': opt_state})

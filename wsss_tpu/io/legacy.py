@@ -191,3 +191,64 @@ def load_thresholds_mat(path: str, num_classes: int,
     t = np.asarray(sio.loadmat(path)['optimalScoreThresh'],
                    np.float32).reshape(-1)[:num_classes]
     return np.maximum(t, clamp_min)
+
+
+def load_deeplab_init_npy(path: str, params: Any,
+                          skip_final: bool = True) -> Any:
+    """Load the reference's DeepLab init weights into SECNet/DSRGNet params.
+
+    The reference initializes SEC from `init.npy` and DSRG from
+    `vgg16_deeplab_aspp.npy` (03a model.py:78-81): a pickled dict
+    `layer -> {"w": HWIO kernel, "b": bias}` consumed by name at
+    SEC.py:286-338 / DSRG.py's get_weights_and_bias.  fc8 stays randomly
+    initialized like the reference (SEC.py:329-336) unless
+    skip_final=False.
+
+    Name mapping: conv{s}_{i} -> trunk/conv{s}_{i}; SEC fc6/fc7/fc8 ->
+    head/fc{n}; DSRG fc{n}_{k} -> branch{rate_k}/fc{n} with rates
+    (6,12,18,24) for k=1..4.
+    """
+    init = np.load(path, encoding='latin1', allow_pickle=True).item()
+    rates = (6, 12, 18, 24)
+
+    def target_path(layer: str):
+        if layer.startswith('conv'):
+            return ('trunk', layer)
+        m = _re.fullmatch(r'fc(\d)(?:_(\d))?', layer)
+        if not m:
+            return None
+        n, k = m.group(1), m.group(2)
+        if skip_final and n == '8':
+            return None
+        if k is None:                      # SEC LargeFOV head
+            return ('head', f'fc{n}')
+        return (f'branch{rates[int(k) - 1]}', f'fc{n}')
+
+    out = params
+    loaded = 0
+    for layer, wb in init.items():
+        tp = target_path(layer)
+        if tp is None:
+            continue
+        node = params
+        ok = True
+        for key in tp:
+            if key not in node:
+                ok = False
+                break
+            node = node[key]
+        if not ok:
+            continue
+        w = np.asarray(wb['w'], np.float32)
+        b = np.asarray(wb['b'], np.float32)
+        if w.shape != node['kernel'].shape:
+            raise ValueError(f'{layer}: kernel shape {w.shape} vs '
+                             f'{node["kernel"].shape}')
+        out = _set_by_path(out, tuple(
+            jax.tree_util.DictKey(k) for k in tp + ('kernel',)), w)
+        out = _set_by_path(out, tuple(
+            jax.tree_util.DictKey(k) for k in tp + ('bias',)), b)
+        loaded += 1
+    if loaded == 0:
+        raise ValueError(f'no layers from {path} matched the model')
+    return out

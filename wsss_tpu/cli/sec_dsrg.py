@@ -107,6 +107,8 @@ def main(argv=None):
     trainer = SECDSRGTrainer(args.method, args.dataset, n_cls,
                              base_lr=args.lr, accum_num=args.accum_num)
     run_id = f'{args.method}_{args.dataset}_{args.model}'
+    if args.threshold != sweep[0]:   # 02_cues naming quirk parity
+        run_id += f'_{args.threshold}'
     ckpt_root = os.path.join(args.wsss_model_root, run_id)
 
     params, opt_state = trainer.init(

@@ -153,3 +153,30 @@ def test_strategy_selection():
     filt = make_bilateral(big, 10, 4)
     assert isinstance(filt, DirectBilateral)
     assert filt.cache is None  # too many offsets to cache weight maps
+
+
+def test_pallas_color_blur_matches_xla():
+    """Experimental Pallas fused color blur == XLA strided convs (interior
+    cells; margins may differ — they are never splatted/sliced)."""
+    import pytest
+    if jax.default_backend() != 'tpu':
+        # Pallas TPU kernels need interpret mode off-TPU
+        from jax.experimental import pallas as pl  # noqa: F401
+    from wsss_tpu.ops.crf import pallas_blur
+    from wsss_tpu.ops.crf.meanfield import _blur_kernel1d, _flat_conv_last
+    gc, C = 9, 5
+    f = gc * gc * gc * C
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.random((4, 4, f)).astype(np.float32))
+    k = _blur_kernel1d(0.913, 2)
+    strides = (gc * gc * C, gc * C, C)
+    try:
+        got = pallas_blur.blur_color_axes(grid, (k, k, k), strides,
+                                          (4, 4, gc, gc, gc))
+    except Exception as e:  # interpreter/backend gaps on CPU CI
+        pytest.skip(f'pallas unavailable here: {e}')
+    want = grid
+    for s_ in strides:
+        want = _flat_conv_last(want, jnp.asarray(k), s_)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)

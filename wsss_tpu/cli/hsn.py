@@ -52,7 +52,7 @@ def main(argv=None):
             spec = registry.get(f'ADP-{htt}')
             ds, batches = common.get_batches(args, split, size,
                                              with_gt=True, htt=htt)
-            conf = jnp.zeros((spec.n_seg_classes,) * 2, jnp.int32)
+            conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
             for b in batches:
                 lm, lf = seg.segment_batch(b.images)
                 pred = np.asarray(lm if htt == 'morph' else lf)
@@ -62,8 +62,8 @@ def main(argv=None):
                         jnp.asarray(pred, jnp.float32)[..., None],
                         (pred.shape[0],) + b.gt.shape[1:] + (1,),
                         'nearest'))[..., 0].astype(np.int32)
-                    conf = conf + metrics.confusion_matrix(
-                        jnp.asarray(up), jnp.asarray(b.gt),
+                    conf = metrics.accumulate_confusion(
+                        conf, jnp.asarray(up), jnp.asarray(b.gt),
                         spec.n_seg_classes)
                 if args.saveimg:
                     for i, name in enumerate(b.names):
@@ -86,12 +86,13 @@ def main(argv=None):
                                 suffix='bg')
     seg = hsn.HSNSegmenter(spec, fg, bg, model_type=args.model)
     ds, batches = common.get_batches(args, args.split, size, with_gt=True)
-    conf = jnp.zeros((spec.n_seg_classes,) * 2, jnp.int32)
+    conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
     for b in batches:
         pred = np.asarray(seg.segment_batch(b.images))
         if b.gt is not None:
-            conf = conf + metrics.confusion_matrix(
-                jnp.asarray(pred), jnp.asarray(b.gt), spec.n_seg_classes)
+            conf = metrics.accumulate_confusion(
+                conf, jnp.asarray(pred), jnp.asarray(b.gt),
+                spec.n_seg_classes)
         if args.saveimg:
             for i, name in enumerate(b.names):
                 color = reports.colorize(pred[i], spec.palette_array())

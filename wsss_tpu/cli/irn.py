@@ -59,7 +59,7 @@ def run_eval_cam(args, dirs, split=None) -> float:
     ds, batches = common.get_batches(args, split or args.train_split,
                                      size, with_gt=True, htt=htt)
     n_cls = spec.n_seg_classes
-    conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+    conf = np.zeros((n_cls, n_cls), np.int64)
     for b in batches:
         for i, name in enumerate(b.names):
             path = os.path.join(dirs['cam'], name + '.npy')
@@ -79,8 +79,8 @@ def run_eval_cam(args, dirs, split=None) -> float:
             up = np.asarray(jax.image.resize(
                 jnp.asarray(pred, jnp.float32)[..., None],
                 b.gt.shape[1:] + (1,), 'nearest'))[..., 0].astype(np.int32)
-            conf = conf + metrics.confusion_matrix(
-                jnp.asarray(up), jnp.asarray(b.gt[i]), n_cls)
+            conf = metrics.accumulate_confusion(
+                conf, jnp.asarray(up), jnp.asarray(b.gt[i]), n_cls)
     iou, miou = metrics.iou_from_confusion(conf)
     reports.write_iou_csv(os.path.join(dirs['eval'], 'cam_iou.csv'),
                           spec.seg_class_names, np.asarray(iou))
@@ -203,7 +203,7 @@ def run_eval_sem_seg(args, dirs) -> float:
     ds, batches = common.get_batches(args, args.infer_split, size,
                                      with_gt=True, htt=htt)
     n_cls = spec.n_seg_classes
-    conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+    conf = np.zeros((n_cls, n_cls), np.int64)
     from PIL import Image
     for b in batches:
         for i, name in enumerate(b.names):
@@ -217,8 +217,8 @@ def run_eval_sem_seg(args, dirs) -> float:
                 pred = np.asarray(Image.fromarray(
                     pred.astype(np.uint8)).resize(gt.shape[::-1],
                                                   Image.NEAREST))
-            conf = conf + metrics.confusion_matrix(
-                jnp.asarray(pred.astype(np.int32)), jnp.asarray(gt),
+            conf = metrics.accumulate_confusion(
+                conf, jnp.asarray(pred.astype(np.int32)), jnp.asarray(gt),
                 n_cls)
     iou, miou = metrics.iou_from_confusion(conf)
     reports.write_iou_csv(os.path.join(dirs['eval'], 'sem_seg_iou.csv'),

@@ -133,16 +133,15 @@ def main(argv=None):
             vds, _ = common.get_batches(args, args.eval_split, size,
                                         with_gt=True)
             fwd = jax.jit(lambda p, x: trainer.predict_logits(p, x))
-            conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+            conf = np.zeros((n_cls, n_cls), np.int64)
             for vb in vds.batches(args.batchsize, with_gt=True):
                 if vb.gt is None:
                     continue
                 logits = fwd(params, jnp.asarray(norm(vb.images)))
                 pred = np.asarray(jnp.argmax(resize_bilinear(
                     logits, vb.gt.shape[1:]), -1))
-                conf0 = metrics.confusion_matrix(
-                    jnp.asarray(pred), jnp.asarray(vb.gt), n_cls)
-                conf = conf + conf0
+                conf = metrics.accumulate_confusion(
+                    conf, jnp.asarray(pred), jnp.asarray(vb.gt), n_cls)
             return float(metrics.iou_from_confusion(conf)[1])
 
         cue_dict = _load_cues(args.cues_pickle, None, n_cls)
@@ -195,7 +194,7 @@ def main(argv=None):
     cfg = (crf_config.SEC_TEST.get(args.dataset, crf_config.DSRG_TEST)
            if args.method == 'SEC' else crf_config.DSRG_TEST)
     ds, _ = common.get_batches(args, args.eval_split, size, with_gt=True)
-    conf = jnp.zeros((n_cls, n_cls), jnp.int32)
+    conf = np.zeros((n_cls, n_cls), np.int64)
     fwd = jax.jit(lambda p, x: trainer.predict_logits(p, x))
     out_dir = os.path.join(args.out_root, run_id)
     for b in ds.batches(args.batchsize, with_gt=True):
@@ -211,8 +210,8 @@ def main(argv=None):
                     jnp.asarray(pred, jnp.float32)[..., None],
                     (pred.shape[0],) + gt.shape[1:] + (1,),
                     'nearest'))[..., 0].astype(np.int32)
-            conf = conf + metrics.confusion_matrix(
-                jnp.asarray(pred), jnp.asarray(gt), n_cls)
+            conf = metrics.accumulate_confusion(
+                conf, jnp.asarray(pred), jnp.asarray(gt), n_cls)
         if args.saveimg:
             for i, name in enumerate(b.names):
                 color = reports.colorize(pred[i], spec.palette_array())

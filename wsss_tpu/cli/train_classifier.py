@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument('--train_split', default='train')
     p.add_argument('--val_split', default='val')
     p.add_argument('--resume', action='store_true')
+    p.add_argument('--no_class_wgt', action='store_true',
+                   help='disable inverse-frequency class weighting '
+                        '(reference should_wgt, 01_train/demo.py:80-82)')
     p.add_argument('--profile_dir', default=None,
                    help='write a jax.profiler trace of the first train '
                         'steps here (replaces the reference\'s wall-clock '
@@ -51,10 +54,16 @@ def main(argv=None):
     size = common.input_size(args)
     n_cls = spec.n_fg_classes
     model = build_classifier(args.model, n_cls)
-    trainer = ClassifierTrainer(model, lr=args.lr, schedule=args.schedule)
+    ds, _ = common.get_batches(args, args.train_split, size)
+    # inverse-frequency class weighting (01_train/demo.py:80: n / pos_count)
+    class_weights = None
+    if not args.no_class_wgt:
+        tags_all = ds.split_tags()
+        class_weights = len(ds) / (np.sum(tags_all, axis=0) + 1e-7)
+    trainer = ClassifierTrainer(model, lr=args.lr, schedule=args.schedule,
+                                class_weights=class_weights)
     norm = _normalizer(spec.norm_cues)
 
-    ds, _ = common.get_batches(args, args.train_split, size)
     params, model_state, opt_state = trainer.init(
         jax.random.PRNGKey(0), jnp.zeros((args.batchsize, size, size, 3)))
     sid = common.sess_id(args)

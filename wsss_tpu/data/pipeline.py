@@ -100,6 +100,11 @@ class DevkitDataset:
     def __len__(self):
         return len(self.names)
 
+    def split_tags(self) -> np.ndarray:
+        """All image-level tags [N, C_fg] (for class weighting,
+        01_train/demo.py:80)."""
+        return self.tags
+
     def _load_img(self, name: str) -> np.ndarray:
         img_dir, _, _ = self._dirs()
         path = os.path.join(img_dir, name)
@@ -165,6 +170,9 @@ class SyntheticWSSS:
 
     def __len__(self):
         return self.n
+
+    def split_tags(self) -> np.ndarray:
+        return np.stack([self._gen_one(i)[1] for i in range(self.n)])
 
     def _gen_one(self, idx: int):
         rng = np.random.default_rng(self.seed * 100003 + idx)

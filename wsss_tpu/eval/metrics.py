@@ -35,6 +35,11 @@ def confusion_matrix(pred: Array, gt: Array, num_classes: int,
     Pixels whose gt equals ``ignore_label`` (or is >= num_classes) are
     dropped, mirroring chainercv's semantics used at
     03b_irn/step/eval_sem_seg.py:43.
+
+    The per-image counts are int32 (safe: one image has < 2^31 pixels);
+    accumulate across a split on the host in int64 — full-res DeepGlobe
+    (199 x 2448^2 px) overflows an int32 diagonal.  Use
+    :func:`accumulate_confusion` for that.
     """
     pred = pred.reshape(-1).astype(jnp.int32)
     gt = gt.reshape(-1).astype(jnp.int32)
@@ -46,28 +51,41 @@ def confusion_matrix(pred: Array, gt: Array, num_classes: int,
     return counts[:-1].reshape(num_classes, num_classes)
 
 
-def iou_from_confusion(conf: Array) -> Tuple[Array, Array]:
-    """Per-class IoU and mIoU from a confusion matrix.
+def accumulate_confusion(conf_acc: np.ndarray, pred: Array, gt: Array,
+                         num_classes: int,
+                         ignore_label: int = 255) -> np.ndarray:
+    """Add one image's confusion into a host int64 accumulator.
+
+    Splits device bincount (int32, per image) from host accumulation
+    (int64, whole split) so billion-pixel evals can't overflow."""
+    c = np.asarray(confusion_matrix(pred, gt, num_classes, ignore_label))
+    return conf_acc + c.astype(np.int64)
+
+
+def iou_from_confusion(conf) -> Tuple[np.ndarray, float]:
+    """Per-class IoU and mIoU from a confusion matrix (device or host).
 
     mIoU averages over classes whose union is nonzero (chainercv behavior:
     nan-classes are excluded via nanmean at eval_sem_seg.py:49-55).
+    Computed on host in float64 — the matrix is tiny and int64 counts
+    exceed float32 precision.
     """
-    conf = conf.astype(jnp.float64) if conf.dtype == jnp.int64 else conf.astype(jnp.float32)
-    inter = jnp.diag(conf)
+    conf = np.asarray(conf).astype(np.float64)
+    inter = np.diag(conf)
     union = conf.sum(0) + conf.sum(1) - inter
-    iou = inter / jnp.maximum(union, 1e-12)
+    iou = inter / np.maximum(union, 1e-12)
     present = union > 0
-    miou = jnp.sum(jnp.where(present, iou, 0.0)) / jnp.maximum(
-        jnp.sum(present), 1)
+    miou = float(np.sum(np.where(present, iou, 0.0))
+                 / max(int(np.sum(present)), 1))
     return iou, miou
 
 
-def precision_recall_from_confusion(conf: Array) -> Tuple[Array, Array]:
+def precision_recall_from_confusion(conf) -> Tuple[np.ndarray, np.ndarray]:
     """Per-class precision/recall (03b_irn/step/eval_cam.py:96-103)."""
-    conf = conf.astype(jnp.float32)
-    inter = jnp.diag(conf)
-    prec = inter / jnp.maximum(conf.sum(0), 1e-12)
-    rec = inter / jnp.maximum(conf.sum(1), 1e-12)
+    conf = np.asarray(conf).astype(np.float64)
+    inter = np.diag(conf)
+    prec = inter / np.maximum(conf.sum(0), 1e-12)
+    rec = inter / np.maximum(conf.sum(1), 1e-12)
     return prec, rec
 
 

@@ -277,7 +277,7 @@ def eval_cues_miou(cue_dict: Dict[str, np.ndarray], gt_batches,
     no cue ignored."""
     import jax.image as jimage
     from wsss_tpu.eval import metrics
-    conf = jnp.zeros((n_seg_classes, n_seg_classes), jnp.int32)
+    conf = np.zeros((n_seg_classes, n_seg_classes), np.int64)
     for b in gt_batches:
         if b.gt is None:
             continue
@@ -295,7 +295,7 @@ def eval_cues_miou(cue_dict: Dict[str, np.ndarray], gt_batches,
                 np.int32)
         # ignore un-cued pixels by mapping them to ignore_label in *gt*
         gt = np.where(up == 255, 255, b.gt)
-        conf = conf + metrics.confusion_matrix(
-            jnp.asarray(up), jnp.asarray(gt), n_seg_classes)
+        conf = metrics.accumulate_confusion(
+            conf, jnp.asarray(up), jnp.asarray(gt), n_seg_classes)
     iou, miou = metrics.iou_from_confusion(conf)
     return np.asarray(iou), float(miou)

@@ -31,6 +31,27 @@ def _spec_and_htt(args):
     return spec, htt
 
 
+def _native_shape_groups(ds, batchsize):
+    """Group native-size single-image batches by exact (H, W) so each
+    group runs through ONE jitted MSF program (static shapes; VOC's
+    size distribution repeats heavily, so compiles amortize).  Yields
+    (names, imgs [B,H,W,3], tags [B,C])."""
+    from wsss_tpu.data.pipeline import prefetch
+    groups = {}
+    for b in prefetch(ds.iter_native()):
+        key = b.images.shape[1:3]
+        groups.setdefault(key, []).append(b)
+        if len(groups[key]) == batchsize:
+            batch = groups.pop(key)
+            yield ([x.names[0] for x in batch],
+                   np.concatenate([x.images for x in batch]),
+                   np.concatenate([x.tags for x in batch]))
+    for batch in groups.values():
+        yield ([x.names[0] for x in batch],
+               np.concatenate([x.images for x in batch]),
+               np.concatenate([x.tags for x in batch]))
+
+
 def run_make_cam(args, dirs) -> None:
     spec, htt = _spec_and_htt(args)
     size = common.input_size(args)
@@ -40,12 +61,13 @@ def run_make_cam(args, dirs) -> None:
     scales = tuple(float(s) for s in args.scales.split(','))
     ci = irnet.CAMInference(handle, spec, args.model, scales=scales,
                             adp_htt=htt)
-    ds, batches = common.get_batches(args, args.train_split, size)
+    ds, _ = common.get_batches(args, args.train_split, size)
     n = 0
-    for b in batches:
-        for i, name in enumerate(b.names):
-            d = ci.make_cam(b.images[i], b.tags[i]
-                            if b.tags is not None else None)
+    # native-size batched MSF: the reference keeps original geometry per
+    # image (make_cam.py:41-42); batching groups identical shapes
+    for names, imgs, tags in _native_shape_groups(ds, args.batchsize):
+        dicts = ci.make_cam_batch(imgs, tags)
+        for name, d in zip(names, dicts):
             artifacts.write_cam_npy(
                 os.path.join(dirs['cam'], name + '.npy'),
                 d['keys'], d['cam'], d.get('high_res'))
@@ -56,31 +78,33 @@ def run_make_cam(args, dirs) -> None:
 def run_eval_cam(args, dirs, split=None) -> float:
     spec, htt = _spec_and_htt(args)
     size = common.input_size(args)
-    ds, batches = common.get_batches(args, split or args.train_split,
-                                     size, with_gt=True, htt=htt)
+    ds, _ = common.get_batches(args, split or args.train_split,
+                               size, htt=htt)
     n_cls = spec.n_seg_classes
     conf = np.zeros((n_cls, n_cls), np.int64)
-    for b in batches:
-        for i, name in enumerate(b.names):
-            path = os.path.join(dirs['cam'], name + '.npy')
-            if not os.path.exists(path) or b.gt is None:
-                continue
-            d = artifacts.read_cam_npy(path)
-            if d['keys'].size == 0:
-                continue
-            hr = d.get('high_res', d['cam'])
-            pad = np.pad(hr, ((1, 0), (0, 0), (0, 0)),
-                         constant_values=args.cam_eval_thres)
-            keys = (np.pad(d['keys'] + 1, (1, 0)) if not htt and
-                    spec.has_bg_class else
-                    np.concatenate([[0], d['keys']]) if htt else
-                    np.concatenate([[0], d['keys'] + 0]))
-            pred = keys[np.argmax(pad, 0)]
-            up = np.asarray(jax.image.resize(
-                jnp.asarray(pred, jnp.float32)[..., None],
-                b.gt.shape[1:] + (1,), 'nearest'))[..., 0].astype(np.int32)
-            conf = metrics.accumulate_confusion(
-                conf, jnp.asarray(up), jnp.asarray(b.gt[i]), n_cls)
+    from wsss_tpu.data.pipeline import prefetch
+    # native-size eval: GT masks keep original geometry (eval_cam.py:75)
+    for b in prefetch(ds.iter_native(with_gt=True)):
+        name = b.names[0]
+        path = os.path.join(dirs['cam'], name + '.npy')
+        if not os.path.exists(path) or b.gt is None:
+            continue
+        d = artifacts.read_cam_npy(path)
+        if d['keys'].size == 0:
+            continue
+        hr = d.get('high_res', d['cam'])
+        pad = np.pad(hr, ((1, 0), (0, 0), (0, 0)),
+                     constant_values=args.cam_eval_thres)
+        keys = (np.pad(d['keys'] + 1, (1, 0)) if not htt and
+                spec.has_bg_class else
+                np.concatenate([[0], d['keys']]) if htt else
+                np.concatenate([[0], d['keys'] + 0]))
+        pred = keys[np.argmax(pad, 0)]
+        up = np.asarray(jax.image.resize(
+            jnp.asarray(pred, jnp.float32)[..., None],
+            b.gt.shape[1:] + (1,), 'nearest'))[..., 0].astype(np.int32)
+        conf = metrics.accumulate_confusion(
+            conf, jnp.asarray(up), jnp.asarray(b.gt[0]), n_cls)
     iou, miou = metrics.iou_from_confusion(conf)
     reports.write_iou_csv(os.path.join(dirs['eval'], 'cam_iou.csv'),
                           spec.seg_class_names, np.asarray(iou))
@@ -92,21 +116,24 @@ def run_eval_cam(args, dirs, split=None) -> float:
 def run_cam_to_ir_label(args, dirs) -> None:
     spec, htt = _spec_and_htt(args)
     size = common.input_size(args)
-    ds, batches = common.get_batches(args, args.train_split, size)
+    ds, _ = common.get_batches(args, args.train_split, size)
+    from wsss_tpu.data.pipeline import prefetch
     n = 0
-    for b in batches:
-        for i, name in enumerate(b.names):
-            path = os.path.join(dirs['cam'], name + '.npy')
-            if not os.path.exists(path):
-                continue
-            d = artifacts.read_cam_npy(path)
-            conf = irnet.cam_to_ir_label(
-                b.images[i], d, args.dataset,
-                conf_fg_thres=args.conf_fg_thres,
-                conf_bg_thres=args.conf_bg_thres)
-            reports.save_png(
-                os.path.join(dirs['ir_label'], name + '.png'), conf)
-            n += 1
+    # native image geometry (cam_to_ir_label.py operates on the original
+    # image; the CRF guide image must match the cam's high_res grid)
+    for b in prefetch(ds.iter_native()):
+        name = b.names[0]
+        path = os.path.join(dirs['cam'], name + '.npy')
+        if not os.path.exists(path):
+            continue
+        d = artifacts.read_cam_npy(path)
+        conf = irnet.cam_to_ir_label(
+            b.images[0], d, args.dataset,
+            conf_fg_thres=args.conf_fg_thres,
+            conf_bg_thres=args.conf_bg_thres)
+        reports.save_png(
+            os.path.join(dirs['ir_label'], name + '.png'), conf)
+        n += 1
     print(f'[cam_to_ir_label] wrote {n} label maps -> {dirs["ir_label"]}')
 
 
@@ -122,26 +149,67 @@ def run_train_irn(args, dirs) -> None:
     tr = irnet.IRNTrainer(backbone, spec.n_seg_classes, crop,
                           lr=args.irn_lr, max_step=max_step)
     variables, opt_state = tr.init(jax.random.PRNGKey(0))
+    if not args.irn_random_trunk:
+        # pour the trained classifier into the frozen trunk
+        # (net/common_cnn.py:25-42 semantics; see models/transplant.py)
+        from wsss_tpu.models.transplant import transplant_classifier_trunk
+        n_out = (51 if args.model == 'X1.7' else
+                 (31 if htt else spec.n_fg_classes))
+        handle = common.load_handle(args, n_out, size)
+        variables = transplant_classifier_trunk(handle.variables,
+                                                variables, backbone)
     step_fn = tr.jitted_step()
     from PIL import Image
+    from wsss_tpu.data import augment
+    from wsss_tpu.data.pipeline import prefetch
     grid = (crop // 4, crop // 4)
+    rescale = (tuple(float(v) for v in args.rescale_range.split(','))
+               if args.rescale_range else None)
+    if rescale and args.crop_method != 'random':
+        raise SystemExit('--rescale_range requires --crop_method random '
+                         '(the reference only combines them, '
+                         'func_sample.py:147-148)')
+    rng = np.random.default_rng(11)
+
+    def load_label(name, hw):
+        path = os.path.join(dirs['ir_label'], name + '.png')
+        if os.path.exists(path):
+            lab = np.asarray(Image.open(path)).astype(np.int64)
+            return augment.pil_resize(lab, hw, 0)
+        return np.full(hw, 255, np.int64)
+
+    def make_pack(img, name):
+        """One (img, affinity labels) training example mirroring
+        VOC12AffinityDataset (voc12/dataloader.py:255-321): outsize resize
+        (img arrives pre-resized), shared-coin hor_flip, optional
+        rescale + shared-box random crop (the resnet50 config), then the
+        /4 label reduction feeding GetAffinityLabelFromIndices."""
+        lab = load_label(name, img.shape[:2])
+        if rescale:
+            img, lab = augment.random_scale([img, lab], rescale,
+                                            (3, 0), rng)
+        if not args.irn_no_flip:
+            img, lab = augment.random_lr_flip([img, lab], rng)
+        if args.crop_method == 'random':
+            img, lab = augment.random_crop([img, lab], crop,
+                                           (0, 255), rng)
+        else:
+            img = img[:crop, :crop]
+            lab = lab[:crop, :crop]
+        lab4 = augment.pil_rescale(lab, 0.25, 0)[:grid[0], :grid[1]]
+        return img, irnet.affinity_labels(lab4, tr.path_index,
+                                          spec.n_seg_classes)
+
     for epoch in range(args.irn_epochs):
-        for b in ds.batches(args.batchsize):
+        # shuffle=True per epoch (train_irn.py:81-82 DataLoader contract)
+        for b in prefetch(ds.batches(args.batchsize, shuffle=True)):
             if b.images.shape[0] != args.batchsize:
                 continue
-            packs = []
-            for i, name in enumerate(b.names):
-                path = os.path.join(dirs['ir_label'], name + '.png')
-                if os.path.exists(path):
-                    lab = np.asarray(Image.open(path).resize(
-                        (crop, crop), Image.NEAREST)).astype(np.int64)
-                else:
-                    lab = np.full((crop, crop), 255, np.int64)
-                lab4 = lab[::4, ::4][:grid[0], :grid[1]]
-                packs.append(irnet.affinity_labels(
-                    lab4, tr.path_index, spec.n_seg_classes))
-            bg, fg, ng = (jnp.asarray(np.stack(z)) for z in zip(*packs))
-            imgs = jnp.asarray(norm(b.images[:, :crop, :crop]))
+            pairs = [make_pack(b.images[i], name)
+                     for i, name in enumerate(b.names)]
+            imgs = jnp.asarray(norm(np.stack([p[0] for p in pairs])))
+            bg, fg, ng = (jnp.asarray(np.stack(z))
+                          for z in zip(*[p[1] for p in pairs]))
             variables, opt_state, parts = step_fn(
                 variables, opt_state, imgs, bg, fg, ng)
             if args.verbose:
@@ -175,51 +243,56 @@ def run_make_sem_seg(args, dirs) -> None:
     variables = state['variables']
     disp_mean = np.asarray(state['disp_mean'])
     norm = _normalizer(spec.norm_irn)
-    ds, batches = common.get_batches(args, args.infer_split, size)
-    fwd = lambda v, x: tr.net.apply(v, x)
+    ds, _ = common.get_batches(args, args.infer_split, size)
+    from wsss_tpu.data import augment
+    from wsss_tpu.data.pipeline import prefetch
+    fwd = jax.jit(lambda v, x: tr.net.apply(v, x))
     n = 0
-    for b in batches:
-        for i, name in enumerate(b.names):
-            path = os.path.join(dirs['cam'], name + '.npy')
-            if not os.path.exists(path):
-                continue
-            d = artifacts.read_cam_npy(path)
-            img = jnp.asarray(norm(b.images[i][None][:, :crop, :crop]))
-            edge, _ = edge_displacement_inference(fwd, variables, img,
-                                                  disp_mean)
-            pred = irnet.make_sem_seg(
-                edge, d, args.dataset, b.images[i].shape[:2],
-                beta=args.beta, exp_times=args.exp_times,
-                sem_seg_bg_thres=args.sem_seg_bg_thres)
-            reports.save_png(os.path.join(dirs['sem_seg'], name + '.png'),
-                             pred)
-            n += 1
+    for b in prefetch(ds.iter_native()):
+        name = b.names[0]
+        path = os.path.join(dirs['cam'], name + '.npy')
+        if not os.path.exists(path):
+            continue
+        d = artifacts.read_cam_npy(path)
+        # top_left crop/pad of the native image to the train crop size
+        # (train_irn.py:38 infer_dataset crop_method="top_left")
+        img_c = augment.top_left_crop(b.images[0], crop, 0)
+        img = jnp.asarray(norm(img_c[None]))
+        edge, _ = edge_displacement_inference(fwd, variables, img,
+                                              disp_mean)
+        pred = irnet.make_sem_seg(
+            edge, d, args.dataset, b.images[0].shape[:2],
+            beta=args.beta, exp_times=args.exp_times,
+            sem_seg_bg_thres=args.sem_seg_bg_thres)
+        reports.save_png(os.path.join(dirs['sem_seg'], name + '.png'),
+                         pred)
+        n += 1
     print(f'[make_sem_seg] wrote {n} -> {dirs["sem_seg"]}')
 
 
 def run_eval_sem_seg(args, dirs) -> float:
     spec, htt = _spec_and_htt(args)
     size = common.input_size(args)
-    ds, batches = common.get_batches(args, args.infer_split, size,
-                                     with_gt=True, htt=htt)
+    ds, _ = common.get_batches(args, args.infer_split, size, htt=htt)
     n_cls = spec.n_seg_classes
     conf = np.zeros((n_cls, n_cls), np.int64)
     from PIL import Image
-    for b in batches:
-        for i, name in enumerate(b.names):
-            path = os.path.join(dirs['sem_seg'], name + '.png')
-            if not os.path.exists(path) or b.gt is None:
-                continue
-            pred = np.asarray(Image.open(path)).astype(np.int32)
-            pred[pred == 255] = 0  # eval_sem_seg.py:32
-            gt = b.gt[i]
-            if pred.shape != gt.shape:
-                pred = np.asarray(Image.fromarray(
-                    pred.astype(np.uint8)).resize(gt.shape[::-1],
-                                                  Image.NEAREST))
-            conf = metrics.accumulate_confusion(
-                conf, jnp.asarray(pred.astype(np.int32)), jnp.asarray(gt),
-                n_cls)
+    from wsss_tpu.data.pipeline import prefetch
+    for b in prefetch(ds.iter_native(with_gt=True)):
+        name = b.names[0]
+        path = os.path.join(dirs['sem_seg'], name + '.png')
+        if not os.path.exists(path) or b.gt is None:
+            continue
+        pred = np.asarray(Image.open(path)).astype(np.int32)
+        pred[pred == 255] = 0  # eval_sem_seg.py:32
+        gt = b.gt[0]
+        if pred.shape != gt.shape:
+            pred = np.asarray(Image.fromarray(
+                pred.astype(np.uint8)).resize(gt.shape[::-1],
+                                              Image.NEAREST))
+        conf = metrics.accumulate_confusion(
+            conf, jnp.asarray(pred.astype(np.int32)), jnp.asarray(gt),
+            n_cls)
     iou, miou = metrics.iou_from_confusion(conf)
     reports.write_iou_csv(os.path.join(dirs['eval'], 'sem_seg_iou.csv'),
                           spec.seg_class_names, np.asarray(iou))
@@ -248,6 +321,22 @@ def main(argv=None):
     p.add_argument('--irn_crop_size', type=int, default=0)
     p.add_argument('--irn_epochs', type=int, default=1)
     p.add_argument('--irn_lr', type=float, default=0.1)
+    p.add_argument('--crop_method', default=None,
+                   choices=[None, 'random', 'top_left'],
+                   help='affinity-crop mode; the vgg16/m7 configs use '
+                        'outsize resize (None), resnet50 uses random '
+                        '(func_sample.py:131-148)')
+    p.add_argument('--rescale_range', default=None,
+                   help='e.g. 0.5,1.5 — random_scale range for affinity '
+                        'training (resnet50 config, func_sample.py:148)')
+    p.add_argument('--irn_no_flip', action='store_true',
+                   help='disable the shared hor_flip of image+ir_label '
+                        '(reference trains with hor_flip=True, '
+                        'train_irn.py:29)')
+    p.add_argument('--irn_random_trunk', action='store_true',
+                   help='skip loading the trained classifier into the '
+                        'frozen trunk (debug only; the reference always '
+                        'transplants, net/common_cnn.py:25-42)')
     p.add_argument('--beta', type=float, default=10.0)
     p.add_argument('--exp_times', type=int, default=None,
                    help='default: the tuned per-dataset value')

@@ -148,8 +148,13 @@ def main(argv=None):
         ds, _ = common.get_batches(args, args.train_split, size)
         step_fn = trainer.jitted_step()
         step = 0
+        from wsss_tpu.data.pipeline import prefetch
         for epoch in range(args.epochs):
-            for b in ds.batches(args.batchsize, with_gt=cue_dict is None):
+            # per-epoch shuffle (03a model.py:279 tf.data .shuffle) with a
+            # prefetch thread overlapping decode with the train step
+            for b in prefetch(ds.batches(args.batchsize,
+                                         with_gt=cue_dict is None,
+                                         shuffle=True)):
                 if b.images.shape[0] != args.batchsize:
                     continue
                 grid = (size - 1) // 8 + 1  # FCN stride-8 SAME grid

@@ -44,6 +44,10 @@ def main(argv=None):
     p.add_argument('--no_class_wgt', action='store_true',
                    help='disable inverse-frequency class weighting '
                         '(reference should_wgt, 01_train/demo.py:80-82)')
+    p.add_argument('--no_aug', action='store_true',
+                   help='train without augmentation (the reference trains '
+                        'with the per-dataset datagen_aug config, '
+                        '02_cues/dataset.py:32-96; val always un-augmented)')
     p.add_argument('--profile_dir', default=None,
                    help='write a jax.profiler trace of the first train '
                         'steps here (replaces the reference\'s wall-clock '
@@ -90,8 +94,14 @@ def main(argv=None):
     step = start_step
     prof = profile_trace(args.profile_dir)
     prof.__enter__()
+    from wsss_tpu.data.augment import classifier_augment
+    from wsss_tpu.data.pipeline import prefetch
+    aug = None if args.no_aug else classifier_augment(args.dataset)
     for epoch in range(args.epochs if args.task == 'train' else 0):
-        for b in ds.batches(args.batchsize):
+        # per-epoch shuffle + host augmentation, decoded ahead of the
+        # device step by the prefetch thread (SURVEY.md §2.8 row 4)
+        for b in prefetch(ds.batches(args.batchsize, shuffle=True,
+                                     augment=aug)):
             if b.images.shape[0] != args.batchsize:
                 continue  # static shapes: drop ragged tail
             imgs = jnp.asarray(norm(b.images))

@@ -2,8 +2,21 @@
 
 One loader family replaces the reference's four (Keras ImageDataGenerator
 02_cues/dataset.py, tf.data 03a model.py:157-348, torch Datasets
-03b dataloaders, trimmed copies in 03c).  Host work is IO + decode only;
-normalization and augmentation run on device (wsss_tpu.ops / methods).
+03b dataloaders, trimmed copies in 03c).  Host work is IO + decode +
+augmentation (per-image numpy/PIL, see :mod:`wsss_tpu.data.augment`);
+normalization runs on device (wsss_tpu.ops / methods).
+
+Loop semantics match the reference's loaders:
+  * per-epoch shuffling (Keras generators, tf.data .shuffle at 03a
+    model.py:279, DataLoader shuffle=True at train_irn.py:81-82) via
+    ``batches(shuffle=True)`` — a fresh permutation per epoch,
+    reproducible from ``seed``.
+  * training augmentation via ``augment=f(img, gt, rng)``.
+  * IO/compute overlap via :func:`prefetch` — the replacement for
+    tf.data prefetch / DataLoader num_workers (SURVEY.md §2.8 row 4).
+  * native-size iteration (``iter_native``) for the 03b inference steps,
+    which keep original image geometry (make_cam.py:41-42) instead of
+    the classifier's square resize.
 
 When no devkit is on disk (this image ships none), :class:`SyntheticWSSS`
 fabricates a deterministic dataset with the same interface — images whose
@@ -14,7 +27,9 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterator, List, Optional
+import queue
+import threading
+from typing import Callable, Iterator, List, Optional
 
 import numpy as np
 
@@ -24,6 +39,38 @@ try:
     from PIL import Image
 except ImportError:  # pragma: no cover
     Image = None
+
+AugmentFn = Callable[[np.ndarray, Optional[np.ndarray],
+                      np.random.Generator],
+                     tuple]
+
+
+def prefetch(it, depth: int = 2):
+    """Run an iterator in a background thread with a bounded queue.
+
+    Overlaps host IO/decode/augment with device compute — the TPU-side
+    stand-in for tf.data's .prefetch / DataLoader workers (the reference
+    uses num_workers=mp.cpu_count()//4, train_irn.py:81-82)."""
+    q: 'queue.Queue' = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surfaced on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 @dataclasses.dataclass
@@ -45,11 +92,13 @@ class DevkitDataset:
     """
 
     def __init__(self, spec: DatasetSpec, root: str, split: str, size: int,
-                 htt: Optional[str] = None):
+                 htt: Optional[str] = None, seed: int = 0):
         if Image is None:
             raise RuntimeError('PIL unavailable')
         self.spec, self.root, self.split, self.size = spec, root, split, size
         self.htt = htt
+        self.seed = seed
+        self._epoch = 0
         self.names, self.tags = self._read_split()
 
     # --- layout ----------------------------------------------------------
@@ -105,7 +154,7 @@ class DevkitDataset:
         01_train/demo.py:80)."""
         return self.tags
 
-    def _load_img(self, name: str) -> np.ndarray:
+    def _load_img(self, name: str, native: bool = False) -> np.ndarray:
         img_dir, _, _ = self._dirs()
         path = os.path.join(img_dir, name)
         if not os.path.splitext(name)[1]:
@@ -114,7 +163,7 @@ class DevkitDataset:
                     path += ext
                     break
         im = Image.open(path).convert('RGB')
-        if im.size != (self.size, self.size):
+        if not native and im.size != (self.size, self.size):
             im = im.resize((self.size, self.size), Image.BILINEAR)
         return np.asarray(im, np.float32)
 
@@ -134,20 +183,48 @@ class DevkitDataset:
         d = np.abs(flat[:, None, :] - pal[None]).sum(-1)
         return d.argmin(1).reshape(arr.shape[:2]).astype(np.int32)
 
-    def batches(self, batch_size: int, with_gt: bool = False
-                ) -> Iterator[Batch]:
-        n = len(self.names)
-        for s in range(0, n, batch_size):
-            names = self.names[s:s + batch_size]
-            imgs = np.stack([self._load_img(nm) for nm in names])
-            gt = None
-            if with_gt:
-                gts = [self._load_gt(nm) for nm in names]
-                if all(g is not None for g in gts):
-                    gt = np.stack(gts)
-            yield Batch(indices=np.arange(s, s + len(names)),
-                        names=list(names), images=imgs,
-                        tags=self.tags[s:s + len(names)], gt=gt)
+    def _order(self, shuffle: bool) -> np.ndarray:
+        order = np.arange(len(self.names))
+        if shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+            self._epoch += 1
+        return order
+
+    def batches(self, batch_size: int, with_gt: bool = False,
+                shuffle: bool = False,
+                augment: Optional[AugmentFn] = None) -> Iterator[Batch]:
+        order = self._order(shuffle)
+        arng = np.random.default_rng((self.seed + 1, self._epoch)) \
+            if augment else None
+        for s in range(0, len(order), batch_size):
+            idx = order[s:s + batch_size]
+            names = [self.names[i] for i in idx]
+            imgs = [self._load_img(nm) for nm in names]
+            gts = [self._load_gt(nm) for nm in names] if with_gt else None
+            if gts is not None and any(g is None for g in gts):
+                gts = None
+            if augment:
+                for i in range(len(imgs)):
+                    g = gts[i] if gts is not None else None
+                    imgs[i], g = augment(imgs[i], g, arng)
+                    if gts is not None:
+                        gts[i] = g
+            yield Batch(indices=idx,
+                        names=names, images=np.stack(imgs),
+                        tags=self.tags[idx],
+                        gt=np.stack(gts) if gts is not None else None)
+
+    def iter_native(self, with_gt: bool = False) -> Iterator[Batch]:
+        """Single-image batches at ORIGINAL size (aspect preserved) — the
+        03b inference contract (per-image .npy shapes, make_cam.py:41-42).
+        Wrap in :func:`prefetch` to overlap decode with device compute."""
+        for i, nm in enumerate(self.names):
+            img = self._load_img(nm, native=True)
+            gt = self._load_gt(nm) if with_gt else None
+            yield Batch(indices=np.array([i]), names=[nm],
+                        images=img[None], tags=self.tags[i:i + 1],
+                        gt=None if gt is None else gt[None])
 
 
 class SyntheticWSSS:
@@ -165,6 +242,7 @@ class SyntheticWSSS:
         self.size = size
         self.n = n_images
         self.seed = seed
+        self._epoch = 0
         # distinct render colors per seg class (palette itself, jittered)
         self.colors = self.spec.palette_array().astype(np.float32)
 
@@ -197,17 +275,46 @@ class SyntheticWSSS:
                 tags[cls - nbg] = 1.0
         return img, tags, gt
 
-    def batches(self, batch_size: int, with_gt: bool = True
-                ) -> Iterator[Batch]:
+    def batches(self, batch_size: int, with_gt: bool = True,
+                shuffle: bool = False,
+                augment: Optional[AugmentFn] = None) -> Iterator[Batch]:
+        order = np.arange(self.n)
+        if shuffle:
+            rng = np.random.default_rng((self.seed + 7, self._epoch))
+            rng.shuffle(order)
+            self._epoch += 1
+        arng = np.random.default_rng((self.seed + 8, self._epoch)) \
+            if augment else None
         for s in range(0, self.n, batch_size):
-            items = [self._gen_one(i)
-                     for i in range(s, min(s + batch_size, self.n))]
-            imgs, tags, gts = map(np.stack, zip(*items))
-            yield Batch(indices=np.arange(s, s + len(items)),
-                        names=[f'synth_{i:05d}' for i in
-                               range(s, s + len(items))],
-                        images=imgs, tags=tags,
-                        gt=gts if with_gt else None)
+            idx = order[s:s + batch_size]
+            items = [self._gen_one(int(i)) for i in idx]
+            imgs, tags, gts = (list(z) for z in zip(*items))
+            if augment:
+                for i in range(len(imgs)):
+                    g = gts[i] if with_gt else None
+                    imgs[i], g = augment(imgs[i], g, arng)
+                    if with_gt:
+                        gts[i] = g
+            yield Batch(indices=idx,
+                        names=[f'synth_{int(i):05d}' for i in idx],
+                        images=np.stack(imgs), tags=np.stack(tags),
+                        gt=np.stack(gts) if with_gt else None)
+
+    def iter_native(self, with_gt: bool = False) -> Iterator[Batch]:
+        """Native-size iteration; synthetic images vary size around the
+        nominal so bucketed-inference paths are exercised."""
+        for i in range(self.n):
+            rng = np.random.default_rng((self.seed + 9, i))
+            img, tags, gt = self._gen_one(i)
+            # non-square jitter: crop a random margin off one axis
+            dh = int(rng.integers(0, max(self.size // 4, 1)))
+            dw = int(rng.integers(0, max(self.size // 4, 1)))
+            img, gt = img[dh:], gt[dh:]
+            img, gt = img[:, dw:], gt[:, dw:]
+            yield Batch(indices=np.array([i]),
+                        names=[f'synth_{i:05d}'], images=img[None],
+                        tags=tags[None],
+                        gt=gt[None] if with_gt else None)
 
 
 def open_dataset(spec_name: str, data_root: Optional[str], split: str,

@@ -57,6 +57,13 @@ class CAMInference:
     The CAM branch convolves the final conv features with the classifier's
     weight matrix (VGG16, vgg16_cam.py:48) or the stored Grad-CAM weights
     (M7, m7_cam.py:45-48); image + horizontal flip are summed.
+
+    TPU design: ONE jitted program per image shape computes the whole
+    multi-scale pyramid for a BATCH of images — each scale's forward runs
+    once with image+flip fused into the batch axis, and the strided and
+    high-res outputs are two resizes of the same CAM (the reference
+    dispatches per image per scale per target, make_cam.py:56-69).
+    Shard the batch over a mesh via ``run(..., mesh=)``-style callers.
     """
 
     def __init__(self, handle: _ClassifierHandle, spec: registry.DatasetSpec,
@@ -79,24 +86,41 @@ class CAMInference:
                 return handle.variables['params']['head']['kernel']
             return handle.weights  # M7/X1.7: Grad-CAM weights [F, C]
 
-        @functools.partial(jax.jit, static_argnames=('out_hw',))
-        def single_scale(img, out_hw):
-            """img: [1,h,w,3] raw RGB; returns (cam [C,out_h,out_w],
-            scores [C_out])."""
-            both = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
-            x = norm(both)
-            scores, feats = handle.model.apply(handle.variables, x)
-            w = cam_weights()
-            cam = jnp.maximum(
-                jnp.einsum('bhwf,fc->bhwc', feats.astype(jnp.float32), w),
-                0.)
-            cam = cam[0] + cam[1, :, ::-1]          # merge flip
-            cam = jnp.transpose(cam, (2, 0, 1))     # [C,h,w]
-            cam = jax.image.resize(
-                cam, (cam.shape[0],) + out_hw, 'bilinear')
-            return cam, scores[0]
+        @jax.jit
+        def msf_batch(imgs):
+            """imgs: [B,H,W,3] raw RGB.  Returns (cam [B,C,sh,sw],
+            high_res [B,C,uh,uw], scores [B,C_out]) — multi-scale sums,
+            flip-merged, both target grids from one forward per scale."""
+            b, h, w = imgs.shape[:3]
+            strided = get_strided_size((h, w), 4)
+            up = get_strided_up_size((h, w), 16)
+            cam_sum = jnp.zeros((b, 0))   # placeholder, set on 1st scale
+            hi_sum = None
+            scores0 = None
+            for s in self.scales:
+                sh, sw = int(round(h * s)), int(round(w * s))
+                img_s = resize_bilinear(imgs, (sh, sw))
+                both = jnp.concatenate([img_s, img_s[:, :, ::-1]], axis=0)
+                scores, feats = handle.model.apply(handle.variables,
+                                                   norm(both))
+                cam = jnp.maximum(
+                    jnp.einsum('bhwf,fc->bhwc',
+                               feats.astype(jnp.float32), cam_weights()),
+                    0.)
+                cam = cam[:b] + cam[b:, :, ::-1]        # merge flip
+                cam = jnp.transpose(cam, (0, 3, 1, 2))  # [B,C,h,w]
+                cs = jax.image.resize(
+                    cam, cam.shape[:2] + strided, 'bilinear')
+                cu = jax.image.resize(cam, cam.shape[:2] + up, 'bilinear')
+                cam_sum = cs if hi_sum is None else cam_sum + cs
+                hi_sum = cu if hi_sum is None else hi_sum + cu
+                if s == 1.0:
+                    scores0 = scores[:b]
+            if scores0 is None:
+                scores0 = jnp.zeros((b, cam_weights().shape[1]))
+            return cam_sum, hi_sum[:, :, :h, :w], scores0
 
-        self._single_scale = single_scale
+        self._msf_batch = msf_batch
         self._maps = maps
         self._is_x17 = is_x17
 
@@ -129,6 +153,29 @@ class CAMInference:
                 bg_ind=0, other_ind=1, adipose_cam=adipose_cam)
         return jnp.transpose(vol[0], (2, 0, 1))
 
+    def make_cam_batch(self, imgs_raw: np.ndarray,
+                       tags: Optional[np.ndarray], mesh=None
+                       ) -> list:
+        """Batch of same-shape images -> list of {'keys','cam','high_res'}
+        dicts (make_cam.py:78-88 per image).
+
+        imgs_raw: [B,H,W,3] RGB 0..255.  tags: [B,C_fg] or None.
+        mesh: optional jax.sharding.Mesh — shards the batch over the
+        'data' axis (the reference's one-process-per-GPU split,
+        make_cam.py:120-122, as a single program)."""
+        imgs_j = jnp.asarray(imgs_raw, jnp.float32)
+        if mesh is not None:
+            from wsss_tpu.parallel.mesh import shard_batch
+            (imgs_sh,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
+                                                          np.float32))
+            cam, hi, scores = self._msf_batch(imgs_sh)
+            cam, hi, scores = cam[:b0], hi[:b0], scores[:b0]
+        else:
+            cam, hi, scores = self._msf_batch(imgs_j)
+        return [self._finalize(imgs_raw[i], cam[i], hi[i], scores[i],
+                               None if tags is None else tags[i])
+                for i in range(imgs_raw.shape[0])]
+
     def make_cam(self, img_raw: np.ndarray, tags: Optional[np.ndarray]
                  ) -> Dict[str, np.ndarray]:
         """One image -> {'keys','cam','high_res'} (make_cam.py:78-88).
@@ -136,26 +183,12 @@ class CAMInference:
         img_raw: [H,W,3] RGB 0..255.  tags: [C_fg] image labels (train
         split) or None (use thresholded predictions, make_cam.py:49-52).
         """
-        h, w = img_raw.shape[:2]
-        strided = get_strided_size((h, w), 4)
-        up = get_strided_up_size((h, w), 16)
-        cam_sum = None
-        hi_sum = None
-        scores0 = None
-        for s in self.scales:
-            sh, sw = int(round(h * s)), int(round(w * s))
-            img_s = np.asarray(
-                resize_bilinear(jnp.asarray(img_raw, jnp.float32)[None],
-                                (sh, sw))[0])
-            cam, scores = self._single_scale(jnp.asarray(img_s)[None],
-                                             strided)
-            hi, _ = self._single_scale(jnp.asarray(img_s)[None], up)
-            cam_sum = cam if cam_sum is None else cam_sum + cam
-            hi_sum = hi if hi_sum is None else hi_sum + hi
-            if s == 1.0:
-                scores0 = scores
-        cam31 = cam_sum
-        hi31 = hi_sum[:, :h, :w]
+        return self.make_cam_batch(
+            img_raw[None], None if tags is None else tags[None])[0]
+
+    def _finalize(self, img_raw, cam31, hi31, scores0, tags
+                  ) -> Dict[str, np.ndarray]:
+        """Per-image key selection / ADP synthesis / normalization."""
         if self._is_x17:
             keep = self._maps['x17_to_31']
             cam31, hi31 = cam31[keep], hi31[keep]

@@ -1,0 +1,481 @@
+"""MXU-native bilateral grid: splat/slice as one-hot matmuls in Pallas.
+
+The 5-D bilateral grid (meanfield.BilateralGrid) approximates pydensecrf's
+permutohedral lattice (03c_hsn/utilities.py:399-445) but its XLA
+scatter/slice phases are access-count bound on TPU (~13/9 ms per filter at
+321^2, measured).  This module replaces them with MXU work:
+
+  * Pixels are grouped into aligned ``sxy x sxy`` tiles.  Every pixel in a
+    tile shares its *spatial* grid cell ``(i, j)`` (``floor(y/sxy) == tile
+    row``), so the tile's splat targets / slice sources are FOUR static
+    color-cube slabs ``G[i+by, j+bx]`` — each small enough for VMEM.
+  * The color-cell one-hot is FACTORIZED: ``1[m=cn(p)] = 1[hi=hi(p)] *
+    1[lo=cb(p)]`` with ``hi = cr*gc+cg`` (gc^2 values, contracted on the
+    MXU) and ``lo = cb`` (gc values, applied as a cheap VPU mask).  This
+    cuts the matmul to one ``[P, gc^2] @ [gc^2, gc*4C]`` per tile and the
+    VPU one-hot generation by ~gc^2/(gc^2+gc).
+  * Splat  ``G[s, c] += w_sp(p) * 1[c=cn(p)] * v_p`` becomes
+    ``one_hot(hi)^T @ (lo_mask ⊙ tile(w ⊙ v))`` with the four
+    spatial-bilinear corner weights packed into the matmul N dim; one
+    [gc^2, gc*4C] partial per tile, combined by static shifted pads.
+  * Slice  becomes ``one_hot(hi) @ concat(4 slabs)`` followed by a
+    lo-mask and a constant group-sum matmul.  One-hots are generated on
+    the fly in VMEM (iota compare), never materialized in HBM.
+  * The color-axis blur runs as a per-spatial-cell Pallas kernel (the
+    whole [gc, gc, gc*C] cube lives in VMEM); the tiny spatial axes
+    collapse to ONE exact 2-D blur matmul over the Gy*Gx dim.
+
+Kernel semantics: spatial-bilinear splat + slice, color-nearest both ways.
+Interpolation variances (1/6 + 1/6 spatial, 1/12 + 1/12 color per axis)
+are folded into the in-grid blur sigma exactly like
+meanfield._GRID_BLUR_SIGMA calibrates the other modes.
+
+Everything here is shape-static and jit-composable: batched mean-field
+(including the Pallas calls) compiles into ONE program, unlike the
+scatter-based path which had to chain per-image dispatches at host level.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+Array = jax.Array
+
+# blur applied inside the grid, in grid units (radius-2 taps, calibrated
+# like meanfield._GRID_BLUR_SIGMA): bilinear splat+slice adds 1/3 variance
+# per spatial axis -> sigma 0.816; nearest color both ways adds 1/6 ->
+# sigma 0.913.
+_SIGMA_SPATIAL = 0.816
+_SIGMA_COLOR = 0.913
+_BLUR_RADIUS = 2
+
+_PCH = 512          # pixels per matmul chunk, slice kernel (VMEM-driven)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _chunks(total: int, step: int) -> Sequence[Tuple[int, int]]:
+    """(offset, size) pieces covering [0, total), each <= step.  `total`
+    must be a multiple of 16 so every piece keeps bf16 sublane tiling."""
+    out, o = [], 0
+    while o < total:
+        s = min(step, total - o)
+        out.append((o, s))
+        o += s
+    return out
+
+
+def grid_dims(srgb: float) -> Tuple[int, int]:
+    """(cells per color axis, color-cube size) for nearest assignment of
+    0..255 intensities at cell size srgb."""
+    gc = int(round(255.0 / srgb)) + 1
+    return gc, gc ** 3
+
+
+def applicable(sxy: float, srgb: float, n_ch: int = 32) -> bool:
+    """Whether the MXU grid supports this kernel config: integer cell
+    size (tiles must align with grid cells) and hi/lo factor sizes whose
+    VMEM working set fits."""
+    t = int(round(sxy))
+    if abs(sxy - t) > 1e-6 or t < 3:
+        return False
+    gc, _ = grid_dims(srgb)
+    return gc * gc <= 2048 and gc * 4 * n_ch <= 4096
+
+
+def _blur_taps(sigma: float) -> Tuple[float, ...]:
+    x = np.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1, dtype=np.float64)
+    return tuple(float(v) for v in np.exp(-0.5 * (x / sigma) ** 2))
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, *,
+                  n_ch, gc, hip):
+    """Per-tile splat partial:
+        out[lo, hi, q*C+c] = sum_p w[p,q] 1[hi=hi(p)] 1[lo=lo(p)] x[p,c]
+
+    The factorization here is lo = cr (MAJOR color axis), hi = cg*gc+cb,
+    so the [gc, gc^2, 4C] partial is already in (cr, cg, cb) m-order —
+    no transpose between splat and blur.  The lo mask is applied to the
+    cached one-hot (one [HIP, P] multiply per lo); building the
+    lo-expanded [P, gc*4C] operand instead costs 21 unaligned lane
+    concats and measures 2.5x slower.
+
+    hit/lot: [1,1,1,1,P] int32 lane-major; xt: [1,1,1,P,C] f32;
+    wsp: [P,4] f32; out: [1,1,1,gc,HIP,4C] bf16.
+    """
+    x = xt_ref[0, 0, 0]                        # [P, C]
+    w = wsp_ref[...]                           # [P, 4]
+    wv = jnp.concatenate(
+        [w[:, q:q + 1] * x for q in range(4)],
+        axis=1).astype(jnp.bfloat16)           # [P, 4C]
+    hit = hit_ref[0, 0, 0]                     # [1, P]
+    lot = lot_ref[0, 0, 0]                     # [1, P]
+    oht = (jax.lax.broadcasted_iota(jnp.int32, (hip, xt_ref.shape[3]), 0)
+           == hit).astype(jnp.bfloat16)        # [HIP, P], cached
+    for l in range(gc):
+        ohtm = oht * (lot == l).astype(jnp.bfloat16)
+        out_ref[0, 0, 0, l] = jnp.dot(
+            ohtm, wv, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+
+
+def _combine_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref, *,
+                    n_ch, gc2, nty, ntx):
+    """Fold the per-tile splat partials into one [Gy, Gx] grid plane.
+
+    Grid step (b, sy, sx, lo) assembles output cell (sy, sx), lo-plane:
+    the contribution of neighbor tile (sy-1+dy, sx-1+dx) is its quadrant
+    q=(1-dy, 1-dx), a 22-lane group of the [HIP, 4C] partial.  The
+    extraction happens in VMEM (cheap masked lane shifts) — doing it in
+    XLA costs 4 strided passes over the full partial array (measured
+    ~18 ms vs ~2 ms here).
+
+    p??: [1,1,1,1,HIP,4C] bf16 partial blocks fetched via clamped index
+    maps; out: [1,1,1,gc^2,C] bf16.
+    """
+    c = n_ch
+    sy = pl.program_id(1)
+    sx = pl.program_id(2)
+    nlo = out_ref.shape[3]
+    for l in range(nlo):
+        acc = jnp.zeros((gc2, c), jnp.float32)
+        for q, (dy, dx), ref in (
+                (3, (0, 0), p11_ref),    # tile (sy-1, sx-1), corner (1,1)
+                (2, (0, 1), p10_ref),    # tile (sy-1, sx),   corner (1,0)
+                (1, (1, 0), p01_ref),    # tile (sy,   sx-1), corner (0,1)
+                (0, (1, 1), p00_ref)):   # tile (sy,   sx),   corner (0,0)
+            quad = ref[0, 0, 0, l, :gc2,
+                       q * c:(q + 1) * c].astype(jnp.float32)
+            ty, tx = sy - 1 + dy, sx - 1 + dx
+            valid = ((ty >= 0) & (ty <= nty - 1) & (tx >= 0)
+                     & (tx <= ntx - 1))
+            acc = acc + jnp.where(valid, quad, 0.0)
+        out_ref[0, 0, 0, l] = acc.astype(jnp.bfloat16)
+
+
+def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
+                  g00_ref, g01_ref, g10_ref, g11_ref, out_ref, *,
+                  p_chunks, n_ch, hip):
+    """Per-tile slice: out[p,c] = sum_q w[p,q] G_q[cn(p), c].
+
+    hl: [1,1,1,P,2] int32 (hi, lo packed — separate [P,1] refs each pad
+    to 128 lanes in VMEM and blow the budget); lanelo: [1, 4*gc*C]
+    (lane -> lo map for
+    the corner-major slab layout); rsum: [4*gc*C, 4C] bf16 constant
+    summing lo groups into (q, c); g??: [1,1,1,HIP,gc*C] bf16 slabs
+    (spatial corners via shifted index maps); out: [1,1,1,P,C] f32.
+    """
+    c = n_ch
+    slab4 = jnp.concatenate(
+        [g[0, 0, 0] for g in (g00_ref, g01_ref, g10_ref, g11_ref)],
+        axis=1)                                # [HIP, 4*gc*C]
+    hl = hl_ref[0, 0, 0]                       # [P, 2]
+    hi, lo = hl[:, 0:1], hl[:, 1:2]
+    lanelo = lanelo_ref[...]                   # [1, 4*gc*C]
+    w = wsp_ref[...]                           # [P, 4]
+    for p0, pk in p_chunks:
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (pk, hip), 1)
+              == hi[p0:p0 + pk]).astype(jnp.bfloat16)
+        t2 = jnp.dot(oh, slab4, preferred_element_type=jnp.float32)
+        t2 = (t2.astype(jnp.bfloat16)
+              * (lanelo == lo[p0:p0 + pk]).astype(jnp.bfloat16))
+        accq = jnp.dot(t2, rsum_ref[...],
+                       preferred_element_type=jnp.float32)  # [pk, 4C]
+        out_ref[0, 0, 0, p0:p0 + pk, :] = sum(
+            w[p0:p0 + pk, q:q + 1] * accq[:, q * c:(q + 1) * c]
+            for q in range(4))
+
+
+def _shift_fill(x: Array, off: int, axis: int) -> Array:
+    """out[i] = x[i + off] along `axis`, zero fill (static shapes)."""
+    if off == 0:
+        return x
+    n = x.shape[axis]
+    zshape = list(x.shape)
+    zshape[axis] = abs(off)
+    z = jnp.zeros(zshape, x.dtype)
+    if off > 0:
+        kept = jax.lax.slice_in_dim(x, off, n, axis=axis)
+        return jnp.concatenate([kept, z], axis=axis)
+    kept = jax.lax.slice_in_dim(x, 0, n + off, axis=axis)
+    return jnp.concatenate([z, kept], axis=axis)
+
+
+def _color_blur_kernel(g_ref, out_ref, *, taps, n_ch, gc):
+    """Radius-2 separable blur over the 3 color axes of one spatial cell.
+
+    g/out: [1,1,1,gc,gc,gc*C].  The gb axis is flattened with C (lanes);
+    its shifts step in units of C and zero-fill at the row ends, so no
+    margin cells are needed (cf. meanfield._grid_shape's +4 margins).
+    Measured faster than band-matrix einsums for the color axes (4.8 ms
+    vs 9.5 ms at the bench config) — the batched [441,441] matmuls are
+    too small to amortize.
+    """
+    x = g_ref[0, 0, 0].astype(jnp.float32)      # [gc, gc, gc*C]
+    r = _BLUR_RADIUS
+    for axis, stride in ((0, 1), (1, 1), (2, n_ch)):
+        acc = taps[r] * x
+        for d in range(1, r + 1):
+            acc = acc + taps[r + d] * (
+                _shift_fill(x, d * stride, axis)
+                + _shift_fill(x, -d * stride, axis))
+        x = acc
+    out_ref[0, 0, 0] = x.astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side structure
+# ---------------------------------------------------------------------------
+
+class MXUBilateralGrid:
+    """Batched bilateral-grid filter with MXU splat/slice.
+
+    imgs: [B, H, W, 3] float 0..255 guide images.  filter() maps
+    [B, H, W, C] -> [B, H, W, C], approximating K @ x per image with
+    K = exp(-|dp|^2/2 sxy^2 - |dI|^2/2 srgb^2) (self weight 1).  Fully
+    jit-composable (static shapes; geometry is traced from imgs).
+    """
+
+    def __init__(self, imgs: Array, sxy: float, srgb: float, n_ch: int,
+                 interpret: bool = False):
+        if imgs.ndim != 4:
+            raise ValueError('MXUBilateralGrid wants batched [B,H,W,3]')
+        if not applicable(sxy, srgb, n_ch):
+            raise ValueError(f'mxu grid inapplicable for sxy={sxy} '
+                             f'srgb={srgb} n_ch={n_ch}')
+        b, h, w = imgs.shape[:3]
+        t = int(round(sxy))
+        self.bhw = (b, h, w)
+        self.t = t
+        self.n_ch = c = n_ch
+        self.interpret = interpret
+        self.nty, self.ntx = -(-h // t), -(-w // t)
+        self.hp, self.wp = self.nty * t, self.ntx * t
+        gc, m = grid_dims(srgb)
+        self.gc, self.m = gc, m
+        self.hip = _round_up(gc * gc, 16)      # padded hi (matmul M dim)
+        p = _round_up(t * t, 16)
+        self.p = p
+        self.p_chunks = _chunks(p, _PCH)
+
+        # hi/lo color-cell indices per pixel, tile-major; pad pixels point
+        # at cell 0 with zero value/weight so they never contribute
+        imgp = jnp.pad(imgs.astype(jnp.float32),
+                       ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
+        cell = jnp.clip(jnp.round(imgp / srgb).astype(jnp.int32), 0, gc - 1)
+        # slice factorization: hi = (cr,cg) row index, lo = cb
+        hi = cell[..., 0] * gc + cell[..., 1]
+        lo = cell[..., 2]
+        hi = self._tile(hi[..., None])[..., 0]         # [B,nty,ntx,P]
+        lo = self._tile(lo[..., None])[..., 0]
+        self.hl = jnp.stack([hi, lo], axis=-1)         # [B,nty,ntx,P,2]
+        # splat factorization: lo = cr (major axis, so partials land in
+        # m-order), hi = (cg,cb)
+        hi_s = cell[..., 1] * gc + cell[..., 2]
+        lo_s = cell[..., 0]
+        hi_s = self._tile(hi_s[..., None])[..., 0]
+        lo_s = self._tile(lo_s[..., None])[..., 0]
+        self.hit_splat = hi_s[..., None, :]            # [B,nty,ntx,1,P]
+        self.lot_splat = lo_s[..., None, :]
+
+        # lane -> lo map for the slice kernel's corner-major slab layout
+        self.lanelo_slice = jnp.asarray(
+            np.tile(np.arange(gc).repeat(c), 4)[None], jnp.int32)
+        # constant group-sum: [q*(gc*C) + lo*C + cc] -> [q*C + cc]
+        rsum = np.zeros((4 * gc * c, 4 * c), np.float32)
+        for q in range(4):
+            for l in range(gc):
+                for cc in range(c):
+                    rsum[q * gc * c + l * c + cc, q * c + cc] = 1.0
+        self.rsum = jnp.asarray(rsum, jnp.bfloat16)
+
+        # spatial-bilinear corner weights: constant across tiles/images
+        fy = (np.arange(t, dtype=np.float32) % t) / t
+        wy = np.stack([1.0 - fy, fy], 1)               # [t, 2]
+        wsp = np.einsum('ya,xb->yxab', wy, wy).reshape(t * t, 4)
+        if self.p != t * t:
+            wsp = np.pad(wsp, ((0, self.p - t * t), (0, 0)))
+        self.wsp = jnp.asarray(wsp)                    # [P, 4]
+
+        # ALL blur passes are band-matrix matmuls: the per-axis dims
+        # (Gy, Gx, gc) are tiny, so exact blurs ride the MXU instead of
+        # shift/pad passes over the whole grid (a Pallas shift kernel
+        # measured 4.8 ms vs ~1 ms for the einsum form)
+        gy, gx = self.nty + 1, self.ntx + 1
+
+        def band(n, taps):
+            k = np.zeros((n, n))
+            for d in range(-_BLUR_RADIUS, _BLUR_RADIUS + 1):
+                k += np.diag(np.full(n - abs(d), taps[d + _BLUR_RADIUS]),
+                             k=d)
+            return k
+
+        tsp = np.asarray(_blur_taps(_SIGMA_SPATIAL), np.float64)
+        self.blur_sp = jnp.asarray(
+            np.kron(band(gy, tsp), band(gx, tsp)).astype(np.float32),
+            jnp.bfloat16)
+        self.taps_col = _blur_taps(_SIGMA_COLOR)
+
+    # -- layout helpers ----------------------------------------------------
+    def _tile(self, x: Array) -> Array:
+        """[B, Hp, Wp, C] -> [B, nty, ntx, P, C] (pads P if needed)."""
+        b = x.shape[0]
+        c = x.shape[-1]
+        t = self.t
+        x = x.reshape(b, self.nty, t, self.ntx, t, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, self.nty, self.ntx, t * t, c)
+        if self.p != t * t:
+            x = jnp.pad(x, ((0, 0),) * 3 + ((0, self.p - t * t), (0, 0)))
+        return x
+
+    def _untile(self, x: Array) -> Array:
+        b, h, w = self.bhw
+        c = x.shape[-1]
+        t = self.t
+        x = x[..., :t * t, :].reshape(b, self.nty, self.ntx, t, t, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, self.hp, self.wp, c)
+        return x[:, :h, :w]
+
+    # -- phases --------------------------------------------------------
+    def _splat(self, xt: Array) -> Array:
+        b, c, gc = xt.shape[0], self.n_ch, self.gc
+        kern = functools.partial(_splat_kernel, n_ch=c, gc=gc,
+                                 hip=self.hip)
+        part = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.ntx),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, self.p),
+                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, 1, self.p),
+                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, self.p, c),
+                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, gc, self.hip, 4 * c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.nty, self.ntx, gc, self.hip, 4 * c),
+                jnp.bfloat16),
+            interpret=self.interpret,
+        )(self.hit_splat, self.lot_splat, xt, self.wsp)
+        # combine the 4 corner groups into the [Gy, Gx] grid (tile (i,j)
+        # corner (by,bx) -> cell (i+by, j+bx)) with a second tiny kernel
+        gy, gx = self.nty + 1, self.ntx + 1
+        nty, ntx = self.nty, self.ntx
+        ckern = functools.partial(_combine_kernel, n_ch=c, gc2=gc * gc,
+                                  nty=nty, ntx=ntx)
+
+        # lo-planes per step: amortize grid-step overhead while keeping
+        # the 4 double-buffered partial blocks within VMEM
+        lb = 1
+        for cand in range(gc, 0, -1):
+            if gc % cand == 0 and cand * self.hip * 4 * c * 2 * 8                     <= 5 * 1024 * 1024:
+                lb = cand
+                break
+
+        def part_spec(dy, dx):
+            def imap(bb, sy, sx, l, dy=dy, dx=dx):
+                return (bb, jnp.clip(sy - 1 + dy, 0, nty - 1),
+                        jnp.clip(sx - 1 + dx, 0, ntx - 1), l, 0, 0)
+            return pl.BlockSpec((1, 1, 1, lb, self.hip, 4 * c), imap)
+
+        grid = pl.pallas_call(
+            ckern,
+            grid=(b, gy, gx, gc // lb),
+            in_specs=[part_spec(1, 1), part_spec(1, 0),
+                      part_spec(0, 1), part_spec(0, 0)],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, lb, gc * gc, c),
+                lambda bb, sy, sx, l: (bb, sy, sx, l, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, gy, gx, gc, gc * gc, c), jnp.bfloat16),
+            interpret=self.interpret,
+        )(part, part, part, part)
+        return grid.reshape(b, gy, gx, self.m * c)    # bf16
+
+    def _blur(self, grid: Array) -> Array:
+        b = grid.shape[0]
+        gy, gx = self.nty + 1, self.ntx + 1
+        gc, c = self.gc, self.n_ch
+        mc = self.m * c
+        # spatial axes: one exact 2-D blur matmul over the tiny Gy*Gx dim
+        grid = grid.reshape(b, gy * gx, mc)
+        grid = jnp.einsum('st,btf->bsf', self.blur_sp, grid,
+                          preferred_element_type=jnp.bfloat16)
+        grid = grid.reshape(b, gy, gx, gc, gc, gc * c)
+        # color axes: per-cell Pallas kernel, whole cube in VMEM
+        kern = functools.partial(_color_blur_kernel, taps=self.taps_col,
+                                 n_ch=c, gc=gc)
+        grid = pl.pallas_call(
+            kern,
+            grid=(b, gy, gx),
+            in_specs=[pl.BlockSpec((1, 1, 1, gc, gc, gc * c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0, 0))],
+            out_specs=pl.BlockSpec((1, 1, 1, gc, gc, gc * c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.bfloat16),
+            interpret=self.interpret,
+        )(grid)
+        return grid.reshape(b, gy, gx, mc)
+
+    def _slice(self, grid: Array) -> Array:
+        b, c, gc = grid.shape[0], self.n_ch, self.gc
+        gy, gx = self.nty + 1, self.ntx + 1
+        gp = grid.reshape(b, gy, gx, gc * gc, gc * c)
+        if self.hip != gc * gc:
+            gp = jnp.pad(gp, ((0, 0),) * 3 + ((0, self.hip - gc * gc),
+                                              (0, 0)))
+        kern = functools.partial(_slice_kernel, p_chunks=self.p_chunks,
+                                 n_ch=c, hip=self.hip)
+
+        def slab_spec(by, bx):
+            return pl.BlockSpec(
+                (1, 1, 1, self.hip, gc * c),
+                lambda bb, i, j, by=by, bx=bx: (bb, i + by, j + bx, 0, 0))
+
+        out = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.ntx),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, self.p, 2),
+                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 4 * gc * c), lambda bb, i, j: (0, 0)),
+                pl.BlockSpec((4 * gc * c, 4 * c), lambda bb, i, j: (0, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j: (0, 0)),
+                slab_spec(0, 0), slab_spec(0, 1),
+                slab_spec(1, 0), slab_spec(1, 1),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, self.p, c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.nty, self.ntx, self.p, c), jnp.float32),
+            interpret=self.interpret,
+        )(self.hl, self.lanelo_slice, self.rsum, self.wsp,
+          gp, gp, gp, gp)
+        return out
+
+    def filter(self, x: Array) -> Array:
+        """Approximate K @ x per image.  x: [B, H, W, C] (C == n_ch)."""
+        in_dtype = x.dtype
+        b, h, w = self.bhw
+        x = jnp.pad(x.astype(jnp.float32),
+                    ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
+        xt = self._tile(x)
+        grid = self._splat(xt)
+        grid = self._blur(grid)
+        out = self._slice(grid)
+        return self._untile(out).astype(in_dtype)

@@ -111,5 +111,27 @@ def main():
           f'-> {1.0/t_mf:.2f} img/s (CRF only)')
 
 
+def batched():
+    import jax
+    import jax.numpy as jnp
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf import meanfield as mf
+    H = W = 321
+    C = 22
+    B = 4
+    cfg = crf_config.hsn_config('VOC2012', 'VGG16')
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (B, H, W, 3)).astype(np.float32))
+    probs = jax.nn.softmax(jnp.asarray(
+        rng.normal(size=(B, H, W, C)).astype(np.float32)), -1)
+    t = timeit(lambda: mf.mean_field(probs, imgs, cfg), iters=5)
+    print(f'mean_field B={B} ({cfg.iterations} it): {t*1e3:8.2f} ms '
+          f'-> {B/t:.2f} img/s (CRF only)')
+
+
 if __name__ == '__main__':
-    main()
+    import sys
+    if '--batched' in sys.argv:
+        batched()
+    else:
+        main()

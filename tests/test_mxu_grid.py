@@ -92,3 +92,73 @@ def test_applicable():
     assert not mxu_grid.applicable(40.5, 13.0)  # non-integer cell
     assert not mxu_grid.applicable(40.0, 5.0)   # 52^3 color cube > VMEM
     assert not mxu_grid.applicable(2.0, 13.0)   # tiny sxy -> direct path
+
+
+def test_mxu_fidelity_vs_permutohedral():
+    """The MXU grid must match the exact mean field at least as well as
+    the permutohedral lattice (= pydensecrf's structure) at the label
+    level — same bar the 'fast' scatter grid is held to
+    (test_native_crf.py::test_grid_fidelity_vs_permutohedral)."""
+    import jax
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf import native, reference
+    from wsss_tpu.ops.crf.meanfield import gaussian_message
+    if not native.available():
+        pytest.skip('native permutohedral oracle not built')
+
+    rng = np.random.default_rng(0)
+    h = w = 36
+    img = rng.normal(128, 18, (h, w, 3)).astype(np.float32)
+    for i in range(0, h, 7):
+        img[np.arange(h), (np.arange(h) + i) % w] = (220, 60, 60)
+    img = np.clip(img, 0, 255)
+    probs = rng.dirichlet(np.ones(5) * 5, (h, w)).astype(np.float32)
+    probs[img[..., 0] > 180] += np.eye(5, dtype=np.float32)[1] * 0.12
+    probs = probs / probs.sum(-1, keepdims=True)
+
+    cfg = crf_config.CRFConfig(1.0, 3, 3.0, 20, 10, iterations=10)
+    want = reference.mean_field_exact(probs, img, cfg).argmax(-1)
+    perm = native.mean_field_native(probs, img, cfg).argmax(-1)
+    perm_agree = (perm == want).mean()
+
+    U = -jnp.log(jnp.clip(jnp.asarray(probs), 1e-10, None))
+    Q = jax.nn.softmax(-U, -1)[None]
+    filt = mxu_grid.MXUBilateralGrid(jnp.asarray(img)[None], cfg.bi_sxy,
+                                     cfg.bi_srgb, 5, interpret=True)
+    ones = jnp.ones((1, h, w, 1))
+    nb = jax.lax.rsqrt(jnp.maximum(filt.filter(ones), 1e-20))
+    for _ in range(cfg.iterations):
+        mb = nb * filt.filter(nb * Q) - nb * nb * Q
+        mg = gaussian_message(Q[0], cfg.g_sxy)[None]
+        Q = jax.nn.softmax(-U[None] + cfg.g_compat * mg
+                           + cfg.bi_compat * mb, -1)
+    agree = (np.asarray(Q[0].argmax(-1)) == want).mean()
+    assert agree >= perm_agree - 0.02, (agree, perm_agree)
+    assert agree > 0.85, agree
+
+
+def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
+    """Forcing the MXU path (interpret mode) through the public
+    mean_field must agree with the scatter-grid path on a config that
+    routes to BilateralGrid."""
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf import meanfield
+
+    h = w = 104                      # >10240 px -> grid routing
+    cfg = crf_config.CRFConfig(1.0, 3, 13.0, 24, 10, iterations=2)
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 255, (2, h, w, 3)).astype(np.float32)
+    probs = rng.dirichlet(np.ones(4), (2, h, w)).astype(np.float32)
+
+    assert meanfield._routes_to_grid((h, w), cfg.bi_sxy, cfg.bi_srgb)
+    want = np.asarray(meanfield.mean_field(
+        jnp.asarray(probs), jnp.asarray(img), cfg))     # fast path (CPU)
+
+    monkeypatch.setattr(meanfield, '_MXU_FORCE_INTERPRET', True)
+    got = np.asarray(meanfield.mean_field(
+        jnp.asarray(probs), jnp.asarray(img), cfg))     # mxu interpret
+
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.95, corr
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.9, agree

@@ -469,13 +469,20 @@ class MXUBilateralGrid:
         return out
 
     def filter(self, x: Array) -> Array:
-        """Approximate K @ x per image.  x: [B, H, W, C] (C == n_ch)."""
+        """Approximate K @ x per image.  x: [B, H, W, C'] with
+        C' <= n_ch (fewer channels — e.g. the all-ones normalizer — are
+        zero-padded through the kernels and sliced back)."""
         in_dtype = x.dtype
         b, h, w = self.bhw
+        cin = x.shape[-1]
+        if cin > self.n_ch:
+            raise ValueError(f'filter input has {cin} channels; grid '
+                             f'built for {self.n_ch}')
         x = jnp.pad(x.astype(jnp.float32),
-                    ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
+                    ((0, 0), (0, self.hp - h), (0, self.wp - w),
+                     (0, self.n_ch - cin)))
         xt = self._tile(x)
         grid = self._splat(xt)
         grid = self._blur(grid)
         out = self._slice(grid)
-        return self._untile(out).astype(in_dtype)
+        return self._untile(out)[..., :cin].astype(in_dtype)

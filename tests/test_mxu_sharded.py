@@ -1,0 +1,71 @@
+"""Parity tests for the row-banded multi-chip MXU mean field and the
+mesh-sharded random walk on the virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from wsss_tpu.ops.crf import config as crf_config
+from wsss_tpu.ops.crf import meanfield, mxu_sharded
+
+
+def _mesh_1d(n, name='data'):
+    devs = np.asarray(jax.devices()[:n])
+    return Mesh(devs, (name,))
+
+
+def test_sharded_mxu_mean_field_matches_single_device():
+    h, w, c = 48, 24, 3                 # 2 shards x 24 rows (halo 18)
+    cfg = crf_config.CRFConfig(1.0, 3, 3.0, 24, 10, iterations=1)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    probs = rng.dirichlet(np.ones(c), (h, w)).astype(np.float32)
+
+    want = np.asarray(meanfield._mean_field_mxu(
+        jnp.asarray(probs)[None], jnp.asarray(img)[None],
+        g_sxy=cfg.g_sxy, g_compat=cfg.g_compat, bi_sxy=cfg.bi_sxy,
+        bi_srgb=cfg.bi_srgb, bi_compat=cfg.bi_compat,
+        iterations=cfg.iterations, exclude_self=True,
+        interpret=True))[0]
+
+    mesh = _mesh_1d(2)
+    got = np.asarray(mxu_sharded.mean_field_sharded(
+        jnp.asarray(probs), jnp.asarray(img), cfg, mesh,
+        interpret=True))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-2)
+    agree = (got.argmax(-1) == want.argmax(-1)).mean()
+    assert agree > 0.99, agree
+
+
+def test_sharded_mxu_rejects_thin_bands():
+    cfg = crf_config.CRFConfig(1.0, 3, 6.0, 24, 10, iterations=1)
+    mesh = _mesh_1d(8)
+    with pytest.raises(ValueError, match='halo'):
+        mxu_sharded.mean_field_sharded(
+            jnp.zeros((64, 32, 3)), jnp.zeros((64, 32, 3)), cfg, mesh,
+            interpret=True)
+
+
+def test_sharded_random_walk_matches_single_device():
+    from wsss_tpu.ops import random_walk
+
+    h = w = 12
+    k = 3
+    rng = np.random.default_rng(1)
+    cam = rng.uniform(0, 1, (k, h, w)).astype(np.float32)
+    edge = rng.uniform(0, 1, (h, w)).astype(np.float32)
+
+    want = np.asarray(random_walk.propagate_to_edge(
+        jnp.asarray(cam), jnp.asarray(edge), beta=8.0, exp_times=3,
+        radius=4))
+
+    devs = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devs, ('data', 'model'))
+    got = np.asarray(random_walk.propagate_to_edge_sharded(
+        jnp.asarray(cam), jnp.asarray(edge), mesh, beta=8.0,
+        exp_times=3, radius=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

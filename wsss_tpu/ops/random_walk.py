@@ -116,6 +116,28 @@ def to_affinity(edge_flat: Array, gather_idx) -> Array:
     return 1.0 - jnp.max(vals, axis=2)
 
 
+def _transition_matrix(edge: Array, hw, beta: float, radius: int
+                       ) -> Array:
+    """Column-normalized random-walk transition matrix [N,N] from edge
+    probabilities (vgg16_irn.py affinity semantics)."""
+    h, w = hw
+    n = h * w
+    pidx = PathIndex(radius)
+    gather_idx = pidx.path_gather_indices((h, w))
+    src, dst = pidx.pair_indices((h, w))
+
+    aff = to_affinity(edge.reshape(1, -1), gather_idx)[0]   # [P,M]
+    aff = jnp.power(jnp.clip(aff, 0.0, 1.0), beta)
+
+    rows = jnp.asarray(np.broadcast_to(src[None], dst.shape).reshape(-1))
+    cols = jnp.asarray(dst.reshape(-1))
+    vals = aff.reshape(-1)
+    mat = jnp.zeros((n, n), jnp.float32)
+    mat = mat.at[rows, cols].add(vals)
+    mat = mat + mat.T + jnp.eye(n, dtype=jnp.float32)
+    return mat / jnp.maximum(jnp.sum(mat, axis=0, keepdims=True), 1e-12)
+
+
 @functools.partial(jax.jit, static_argnames=('beta', 'exp_times', 'radius'))
 def propagate_to_edge(cam: Array, edge: Array, beta: float = 10.0,
                       exp_times: int = 8, radius: int = 5) -> Array:
@@ -132,21 +154,7 @@ def propagate_to_edge(cam: Array, edge: Array, beta: float = 10.0,
     """
     k, h, w = cam.shape
     n = h * w
-    pidx = PathIndex(radius)
-    gather_idx = pidx.path_gather_indices((h, w))
-    src, dst = pidx.pair_indices((h, w))
-
-    aff = to_affinity(edge.reshape(1, -1), gather_idx)[0]   # [P,M]
-    aff = jnp.power(jnp.clip(aff, 0.0, 1.0), beta)
-
-    rows = jnp.asarray(np.broadcast_to(src[None], dst.shape).reshape(-1))
-    cols = jnp.asarray(dst.reshape(-1))
-    vals = aff.reshape(-1)
-    mat = jnp.zeros((n, n), jnp.float32)
-    mat = mat.at[rows, cols].add(vals)
-    mat = mat + mat.T + jnp.eye(n, dtype=jnp.float32)
-
-    trans = mat / jnp.maximum(jnp.sum(mat, axis=0, keepdims=True), 1e-12)
+    trans = _transition_matrix(edge, (h, w), beta, radius)
 
     def body(_, t):
         return jnp.matmul(t, t, preferred_element_type=jnp.float32)
@@ -154,4 +162,41 @@ def propagate_to_edge(cam: Array, edge: Array, beta: float = 10.0,
     trans = jax.lax.fori_loop(0, exp_times, body, trans)
     out = jnp.matmul(cam.reshape(k, n), trans,
                      preferred_element_type=jnp.float32)
+    return out.reshape(k, h, w)
+
+
+def propagate_to_edge_sharded(cam: Array, edge: Array, mesh,
+                              beta: float = 10.0, exp_times: int = 8,
+                              radius: int = 5) -> Array:
+    """propagate_to_edge with the [N,N] transition matrix sharded 2-D
+    over the first two mesh axes: XLA GSPMD turns the matrix powers into
+    distributed matmuls with ICI collectives, so the full-resolution
+    DeepGlobe walk (the reference downsamples x6 first,
+    make_sem_seg_labels.py:101-104) fits by adding chips instead of
+    losing resolution.  Exact — parity-tested against the single-device
+    path on the virtual CPU mesh.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k, h, w = cam.shape
+    n = h * w
+    ax_r, ax_c = mesh.axis_names[:2]
+    sh2d = NamedSharding(mesh, P(ax_r, ax_c))
+    sh_cam = NamedSharding(mesh, P(None, ax_r))
+
+    @functools.partial(jax.jit, static_argnames=('exp_times',))
+    def run(trans, cam_flat, exp_times):
+        trans = jax.lax.with_sharding_constraint(trans, sh2d)
+        cam_flat = jax.lax.with_sharding_constraint(cam_flat, sh_cam)
+
+        def body(_, t):
+            t2 = jnp.matmul(t, t, preferred_element_type=jnp.float32)
+            return jax.lax.with_sharding_constraint(t2, sh2d)
+
+        t = jax.lax.fori_loop(0, exp_times, body, trans)
+        return jnp.matmul(cam_flat, t,
+                          preferred_element_type=jnp.float32)
+
+    trans = _transition_matrix(edge, (h, w), beta, radius)
+    out = run(trans, cam.reshape(k, n), exp_times)
     return out.reshape(k, h, w)

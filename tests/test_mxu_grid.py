@@ -107,7 +107,7 @@ def test_mxu_fidelity_vs_permutohedral():
         pytest.skip('native permutohedral oracle not built')
 
     rng = np.random.default_rng(0)
-    h = w = 36
+    h = w = 30                    # interpret-mode cost: keep it small
     img = rng.normal(128, 18, (h, w, 3)).astype(np.float32)
     for i in range(0, h, 7):
         img[np.arange(h), (np.arange(h) + i) % w] = (220, 60, 60)
@@ -116,15 +116,22 @@ def test_mxu_fidelity_vs_permutohedral():
     probs[img[..., 0] > 180] += np.eye(5, dtype=np.float32)[1] * 0.12
     probs = probs / probs.sum(-1, keepdims=True)
 
-    cfg = crf_config.CRFConfig(1.0, 3, 3.0, 20, 10, iterations=10)
+    cfg = crf_config.CRFConfig(1.0, 3, 3.0, 20, 10, iterations=6)
     want = reference.mean_field_exact(probs, img, cfg).argmax(-1)
     perm = native.mean_field_native(probs, img, cfg).argmax(-1)
     perm_agree = (perm == want).mean()
 
+    from wsss_tpu.ops.crf import meanfield
+
+    # the COARSE inference default (MXU_CELL_MULT); exact-srgb sampling
+    # scores higher still (measured 0.946 vs permutohedral 0.882 on the
+    # larger 36^2/10-iter adversarial toy) but is covered by the oracle
+    # parity + dispatch tests
     U = -jnp.log(jnp.clip(jnp.asarray(probs), 1e-10, None))
     Q = jax.nn.softmax(-U, -1)[None]
-    filt = mxu_grid.MXUBilateralGrid(jnp.asarray(img)[None], cfg.bi_sxy,
-                                     cfg.bi_srgb, 5, interpret=True)
+    filt = mxu_grid.MXUBilateralGrid(
+        jnp.asarray(img)[None], cfg.bi_sxy, cfg.bi_srgb, 5,
+        interpret=True, cell_mult=meanfield.MXU_CELL_MULT)
     ones = jnp.ones((1, h, w, 1))
     nb = jax.lax.rsqrt(jnp.maximum(filt.filter(ones), 1e-20))
     for _ in range(cfg.iterations):
@@ -133,8 +140,10 @@ def test_mxu_fidelity_vs_permutohedral():
         Q = jax.nn.softmax(-U[None] + cfg.g_compat * mg
                            + cfg.bi_compat * mb, -1)
     agree = (np.asarray(Q[0].argmax(-1)) == want).mean()
-    assert agree >= perm_agree - 0.02, (agree, perm_agree)
-    assert agree > 0.85, agree
+    # must match the exact mean field at least as well as pydensecrf's
+    # own structure (the permutohedral) — justifies the coarse default
+    assert agree >= perm_agree, (agree, perm_agree)
+    assert agree > 0.97, agree
 
 
 def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
@@ -155,6 +164,9 @@ def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
         jnp.asarray(probs), jnp.asarray(img), cfg))     # fast path (CPU)
 
     monkeypatch.setattr(meanfield, '_MXU_FORCE_INTERPRET', True)
+    # exact-srgb sampling isolates the dispatch plumbing; the coarse
+    # default's fidelity is pinned separately below
+    monkeypatch.setattr(meanfield, 'MXU_CELL_MULT', 1.0)
     got = np.asarray(meanfield.mean_field(
         jnp.asarray(probs), jnp.asarray(img), cfg))     # mxu interpret
 

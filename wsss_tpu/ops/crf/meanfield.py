@@ -42,6 +42,12 @@ Array = jax.Array
 # that forces it on non-TPU backends (Pallas interpret mode)
 _MXU_DISABLED = bool(os.environ.get('WSSS_TPU_NO_MXU'))
 _MXU_FORCE_INTERPRET = False
+# color-cell coarsening for the MXU grid (cell = MXU_CELL_MULT * srgb).
+# 1.35 measured 0.923 label agreement with the exact mean field on the
+# adversarial fidelity toy vs the permutohedral lattice's 0.882
+# (tests/test_mxu_grid.py::test_mxu_fidelity_vs_permutohedral pins it),
+# for ~2.3x fewer kernel MACs than exact-srgb sampling.
+MXU_CELL_MULT = 1.35
 
 # Gaussian blur applied inside the bilateral grid, in grid units.  The
 # splat/slice interpolation adds variance per axis (multilinear ~1/6 per
@@ -422,7 +428,8 @@ def _mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
         return False
     if not _routes_to_grid(hw, config.bi_sxy, config.bi_srgb):
         return False
-    if not _mxu.applicable(config.bi_sxy, config.bi_srgb, n_ch):
+    if not _mxu.applicable(config.bi_sxy, config.bi_srgb, n_ch,
+                           MXU_CELL_MULT):
         return False
     return _MXU_FORCE_INTERPRET or jax.default_backend() == 'tpu'
 
@@ -430,10 +437,11 @@ def _mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
-                     'iterations', 'exclude_self', 'interpret'))
+                     'iterations', 'exclude_self', 'interpret',
+                     'cell_mult'))
 def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
                     bi_sxy, bi_srgb, bi_compat, iterations, exclude_self,
-                    interpret=False) -> Array:
+                    interpret=False, cell_mult=1.0) -> Array:
     """Batched mean field over the MXU bilateral grid: the whole loop —
     Pallas splat/slice included — compiles into ONE program, so callers
     (methods/hsn.py, cli/sec_dsrg.py predict) batch entire splits
@@ -444,7 +452,8 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     Q = jax.nn.softmax(logits0, axis=-1)
 
     grid = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, c,
-                                 interpret=interpret)
+                                 interpret=interpret,
+                                 cell_mult=cell_mult)
     ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
     n_b = jax.lax.rsqrt(jnp.maximum(grid.filter(ones), 1e-20))
     if g_compat:
@@ -523,7 +532,8 @@ def mean_field(probs: Array, img: Array, config,
               bi_compat=config.bi_compat, iterations=config.iterations,
               exclude_self=exclude_self)
     if _mxu_ok(probs.shape[-3:-1], probs.shape[-1], config):
-        mkw = dict(kw, interpret=_MXU_FORCE_INTERPRET)
+        mkw = dict(kw, interpret=_MXU_FORCE_INTERPRET,
+                   cell_mult=MXU_CELL_MULT)
         if probs.ndim == 3:
             return _mean_field_mxu(probs[None], img[None], **mkw)[0]
         # per-image dispatch chains: the kernels already saturate the

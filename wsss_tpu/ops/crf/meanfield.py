@@ -423,6 +423,24 @@ def _routes_to_grid(hw: Tuple[int, int], sxy: float, srgb: float) -> bool:
     return not (r <= 8 or n_offsets <= 3200 or grid_cells > 80_000_000)
 
 
+def _fine_color_native_ok(probs, hw: Tuple[int, int], config) -> bool:
+    """Fine-color configs (e.g. the IRN ir-label CRF, srgb=5) build
+    color cubes that make EVERY on-device grid structure intractable —
+    the one-hot matmul costs gc^3*4C MACs per pixel and the scatter grid
+    is access-bound over tens of millions of cells (measured 40-70 s/img
+    at 300^2).  The reference runs this exact step CPU-side (pydensecrf
+    inside DataLoader workers, 03b_irn/voc12/dataloader.py); route it to
+    the from-scratch C++ permutohedral (native/) when available
+    (measured 3.1 s/img) unless we're inside a trace."""
+    if isinstance(probs, jax.core.Tracer):
+        return False
+    from wsss_tpu.ops.crf import native as _native
+    if not _native.available():
+        return False
+    cells = int(np.prod(_grid_shape(hw, config.bi_sxy, config.bi_srgb)))
+    return cells > 5_000_000
+
+
 def _mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
     if _MXU_DISABLED or not config.bi_compat:
         return False
@@ -531,6 +549,20 @@ def mean_field(probs: Array, img: Array, config,
               bi_sxy=config.bi_sxy, bi_srgb=config.bi_srgb,
               bi_compat=config.bi_compat, iterations=config.iterations,
               exclude_self=exclude_self)
+    hw = probs.shape[-3:-1]
+    if (config.bi_compat and not _mxu_ok(hw, probs.shape[-1], config)
+            and _routes_to_grid(hw, config.bi_sxy, config.bi_srgb)
+            and _fine_color_native_ok(probs, hw, config)):
+        from wsss_tpu.ops.crf import native as _native
+        p_np = np.asarray(probs, np.float32)
+        i_np = np.asarray(img, np.float32)
+        if p_np.ndim == 3:
+            return jnp.asarray(_native.mean_field_native(
+                p_np, i_np, config, exclude_self=exclude_self))
+        return jnp.stack([
+            jnp.asarray(_native.mean_field_native(
+                p_np[i], i_np[i], config, exclude_self=exclude_self))
+            for i in range(p_np.shape[0])])
     if _mxu_ok(probs.shape[-3:-1], probs.shape[-1], config):
         mkw = dict(kw, interpret=_MXU_FORCE_INTERPRET,
                    cell_mult=MXU_CELL_MULT)

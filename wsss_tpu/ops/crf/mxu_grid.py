@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -82,13 +83,41 @@ def grid_dims(srgb: float, cell_mult: float = 1.0) -> Tuple[int, int]:
 def applicable(sxy: float, srgb: float, n_ch: int = 32,
                cell_mult: float = 1.0) -> bool:
     """Whether the MXU grid supports this kernel config: integer cell
-    size (tiles must align with grid cells) and hi/lo factor sizes whose
-    VMEM working set fits."""
+    size (tiles must align with grid cells) and factor sizes whose
+    VMEM working set fits after hi/lo chunking."""
     t = int(round(sxy))
     if abs(sxy - t) > 1e-6 or t < 3:
         return False
     gc, _ = grid_dims(srgb, cell_mult)
-    return gc * gc <= 2048 and gc * 4 * n_ch <= 4096
+    hip = _round_up(gc * gc, 16)
+    p = _round_up(t * t, 16)
+    return (gc * gc <= 4096                 # one-hot matmul K dim
+            and gc * 4 * n_ch <= 4096       # t2 / rsum lane width
+            and hip * p * 2 <= 8 * 1024 * 1024   # cached one-hot scratch
+            # one-hot matmuls cost gc^3*4C MACs/pixel: beyond ~gc=28 the
+            # MXU burns more than it saves (fine-color configs route to
+            # the native permutohedral instead, meanfield.py)
+            and gc ** 3 * 4 * n_ch <= 2_500_000)
+
+
+def _pick_lo_block(gc: int, hip: int, n_ch: int) -> int:
+    """Largest divisor of gc whose [lb, hip, 4C] splat output block
+    (double-buffered bf16) fits the budget."""
+    budget = 4 * 1024 * 1024
+    for lb in range(gc, 0, -1):
+        if gc % lb == 0 and lb * hip * 4 * n_ch * 2 * 2 <= budget:
+            return lb
+    return 1
+
+
+def _pick_hi_block(hip: int, gc: int, n_ch: int) -> int:
+    """Largest divisor of hip (multiple of 16) whose 4 slab chunks
+    (double-buffered bf16) fit the budget."""
+    budget = 4 * 1024 * 1024
+    for hich in range(hip, 15, -16):
+        if hip % hich == 0 and hich * gc * n_ch * 2 * 4 * 2 <= budget:
+            return hich
+    return 16
 
 
 def _blur_taps(sigma: float) -> Tuple[float, ...]:
@@ -100,8 +129,8 @@ def _blur_taps(sigma: float) -> Tuple[float, ...]:
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
-def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, *,
-                  n_ch, gc, hip):
+def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, oht_ref,
+                  wv_ref, *, n_ch, lb, hip):
     """Per-tile splat partial:
         out[lo, hi, q*C+c] = sum_p w[p,q] 1[hi=hi(p)] 1[lo=lo(p)] x[p,c]
 
@@ -112,22 +141,33 @@ def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, *,
     lo-expanded [P, gc*4C] operand instead costs 21 unaligned lane
     concats and measures 2.5x slower.
 
+    The lo axis is blocked over the 4th grid dim (`lb` planes per step)
+    so the output block stays within VMEM for large color cubes (the
+    IRN srgb=5 config has gc=39, hip=1536); the one-hot and weighted
+    values persist in scratch across the lo-steps of a tile.
+
     hit/lot: [1,1,1,1,P] int32 lane-major; xt: [1,1,1,P,C] f32;
-    wsp: [P,4] f32; out: [1,1,1,gc,HIP,4C] bf16.
+    wsp: [P,4] f32; out: [1,1,1,lb,HIP,4C] bf16; oht: [HIP,P] bf16
+    scratch; wv: [P,4C] bf16 scratch.
     """
-    x = xt_ref[0, 0, 0]                        # [P, C]
-    w = wsp_ref[...]                           # [P, 4]
-    wv = jnp.concatenate(
-        [w[:, q:q + 1] * x for q in range(4)],
-        axis=1).astype(jnp.bfloat16)           # [P, 4C]
-    hit = hit_ref[0, 0, 0]                     # [1, P]
+    l0 = pl.program_id(3) * lb
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        x = xt_ref[0, 0, 0]                    # [P, C]
+        w = wsp_ref[...]                       # [P, 4]
+        wv_ref[...] = jnp.concatenate(
+            [w[:, q:q + 1] * x for q in range(4)],
+            axis=1).astype(jnp.bfloat16)       # [P, 4C]
+        hit = hit_ref[0, 0, 0]                 # [1, P]
+        oht_ref[...] = (jax.lax.broadcasted_iota(
+            jnp.int32, oht_ref.shape, 0) == hit).astype(jnp.bfloat16)
+
     lot = lot_ref[0, 0, 0]                     # [1, P]
-    oht = (jax.lax.broadcasted_iota(jnp.int32, (hip, xt_ref.shape[3]), 0)
-           == hit).astype(jnp.bfloat16)        # [HIP, P], cached
-    for l in range(gc):
-        ohtm = oht * (lot == l).astype(jnp.bfloat16)
-        out_ref[0, 0, 0, l] = jnp.dot(
-            ohtm, wv, preferred_element_type=jnp.float32
+    for dl in range(lb):
+        ohtm = oht_ref[...] * (lot == l0 + dl).astype(jnp.bfloat16)
+        out_ref[0, 0, 0, dl] = jnp.dot(
+            ohtm, wv_ref[...], preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
 
@@ -166,36 +206,51 @@ def _combine_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref, *,
 
 
 def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
-                  g00_ref, g01_ref, g10_ref, g11_ref, out_ref, *,
-                  p_chunks, n_ch, hip):
+                  g00_ref, g01_ref, g10_ref, g11_ref, out_ref, acc_ref,
+                  *, p_chunks, n_ch, hich):
     """Per-tile slice: out[p,c] = sum_q w[p,q] G_q[cn(p), c].
+
+    The hi axis is blocked over the 4th grid dim (`hich` slab rows per
+    step — full [HIP, gc*C] corner slabs exceed VMEM for large color
+    cubes); each pixel's hi lands in exactly one chunk, the rest
+    contribute zeros into the f32 accumulator, and the corner-weighted
+    combine fires on the last chunk.
 
     hl: [1,1,1,P,2] int32 (hi, lo packed — separate [P,1] refs each pad
     to 128 lanes in VMEM and blow the budget); lanelo: [1, 4*gc*C]
-    (lane -> lo map for
-    the corner-major slab layout); rsum: [4*gc*C, 4C] bf16 constant
-    summing lo groups into (q, c); g??: [1,1,1,HIP,gc*C] bf16 slabs
-    (spatial corners via shifted index maps); out: [1,1,1,P,C] f32.
+    (lane -> lo map for the corner-major slab layout); rsum:
+    [4*gc*C, 4C] bf16 constant summing lo groups into (q, c); g??:
+    [1,1,1,hich,gc*C] bf16 slab chunks (spatial corners via shifted
+    index maps); out: [1,1,1,P,C] f32; acc: [P,4C] f32 scratch.
     """
     c = n_ch
+    m_i = pl.program_id(3)
     slab4 = jnp.concatenate(
         [g[0, 0, 0] for g in (g00_ref, g01_ref, g10_ref, g11_ref)],
-        axis=1)                                # [HIP, 4*gc*C]
+        axis=1)                                # [hich, 4*gc*C]
     hl = hl_ref[0, 0, 0]                       # [P, 2]
     hi, lo = hl[:, 0:1], hl[:, 1:2]
     lanelo = lanelo_ref[...]                   # [1, 4*gc*C]
-    w = wsp_ref[...]                           # [P, 4]
+
+    @pl.when(m_i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
     for p0, pk in p_chunks:
-        oh = (jax.lax.broadcasted_iota(jnp.int32, (pk, hip), 1)
-              == hi[p0:p0 + pk]).astype(jnp.bfloat16)
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (pk, hich), 1)
+              + m_i * hich == hi[p0:p0 + pk]).astype(jnp.bfloat16)
         t2 = jnp.dot(oh, slab4, preferred_element_type=jnp.float32)
         t2 = (t2.astype(jnp.bfloat16)
               * (lanelo == lo[p0:p0 + pk]).astype(jnp.bfloat16))
-        accq = jnp.dot(t2, rsum_ref[...],
-                       preferred_element_type=jnp.float32)  # [pk, 4C]
-        out_ref[0, 0, 0, p0:p0 + pk, :] = sum(
-            w[p0:p0 + pk, q:q + 1] * accq[:, q * c:(q + 1) * c]
-            for q in range(4))
+        acc_ref[p0:p0 + pk, :] += jnp.dot(
+            t2, rsum_ref[...], preferred_element_type=jnp.float32)
+
+    @pl.when(m_i == pl.num_programs(3) - 1)
+    def _():
+        w = wsp_ref[...]                       # [P, 4]
+        acc = acc_ref[...]
+        out_ref[0, 0, 0] = sum(
+            w[:, q:q + 1] * acc[:, q * c:(q + 1) * c] for q in range(4))
 
 
 def _shift_fill(x: Array, off: int, axis: int) -> Array:
@@ -276,9 +331,15 @@ class MXUBilateralGrid:
         sig_col = float(np.sqrt(max((srgb / cell) ** 2 - 1.0 / 6.0,
                                     0.05)))
         self.hip = _round_up(gc * gc, 16)      # padded hi (matmul M dim)
+        self.lb = _pick_lo_block(gc, self.hip, c)
+        self.hich = _pick_hi_block(self.hip, gc, c)
         p = _round_up(t * t, 16)
         self.p = p
-        self.p_chunks = _chunks(p, _PCH)
+        # pixel chunk: the slice kernel's f32+bf16 t2 transients cost
+        # ~6 bytes per element of [pch, 4*gc*C]
+        pch = min(_PCH, max(16, (4 * 1024 * 1024 // (4 * gc * c * 6))
+                            // 16 * 16))
+        self.p_chunks = _chunks(p, pch)
 
         # hi/lo color-cell indices per pixel, tile-major; pad pixels point
         # at cell 0 with zero value/weight so they never contribute
@@ -338,6 +399,17 @@ class MXUBilateralGrid:
             np.kron(band(gy, tsp), band(gx, tsp)).astype(np.float32),
             jnp.bfloat16)
         self.taps_col = _blur_taps(sig_col)
+        # large color cubes exceed the per-cell VMEM budget of the Pallas
+        # color blur; fall back to band-matrix einsums (slower at common
+        # sizes — 9.5 vs 4.8 ms — but bounded memory)
+        self.color_blur_einsum = gc ** 3 * c > 1_000_000
+        if self.color_blur_einsum:
+            tcol = np.asarray(self.taps_col, np.float64)
+            self.blur_rg = jnp.asarray(
+                np.kron(band(gc, tcol), band(gc, tcol)).astype(
+                    np.float32), jnp.bfloat16)
+            self.blur_b = jnp.asarray(
+                band(gc, tcol).astype(np.float32), jnp.bfloat16)
 
     # -- layout helpers ----------------------------------------------------
     def _tile(self, x: Array) -> Array:
@@ -363,25 +435,30 @@ class MXUBilateralGrid:
     # -- phases --------------------------------------------------------
     def _splat(self, xt: Array) -> Array:
         b, c, gc = xt.shape[0], self.n_ch, self.gc
-        kern = functools.partial(_splat_kernel, n_ch=c, gc=gc,
+        kern = functools.partial(_splat_kernel, n_ch=c, lb=self.lb,
                                  hip=self.hip)
         part = pl.pallas_call(
             kern,
-            grid=(b, self.nty, self.ntx),
+            grid=(b, self.nty, self.ntx, gc // self.lb),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, 1, self.p),
-                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, 1, self.p),
-                             lambda bb, i, j: (bb, i, j, 0, 0)),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, self.p, c),
-                             lambda bb, i, j: (bb, i, j, 0, 0)),
-                pl.BlockSpec((self.p, 4), lambda bb, i, j: (0, 0)),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j, lc: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, 1, gc, self.hip, 4 * c),
-                                   lambda bb, i, j: (bb, i, j, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, 1, 1, self.lb, self.hip, 4 * c),
+                                   lambda bb, i, j, lc: (bb, i, j, lc,
+                                                         0, 0)),
             out_shape=jax.ShapeDtypeStruct(
                 (b, self.nty, self.ntx, gc, self.hip, 4 * c),
                 jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((self.hip, self.p), jnp.bfloat16),
+                pltpu.VMEM((self.p, 4 * c), jnp.bfloat16),
+            ],
             interpret=self.interpret,
         )(self.hit_splat, self.lot_splat, xt, self.wsp)
         # combine the 4 corner groups into the [Gy, Gx] grid (tile (i,j)
@@ -428,6 +505,14 @@ class MXUBilateralGrid:
         grid = grid.reshape(b, gy * gx, mc)
         grid = jnp.einsum('st,btf->bsf', self.blur_sp, grid,
                           preferred_element_type=jnp.bfloat16)
+        if self.color_blur_einsum:
+            grid = grid.reshape(b, gy * gx, gc * gc, gc * c)
+            grid = jnp.einsum('uv,bsvf->bsuf', self.blur_rg, grid,
+                              preferred_element_type=jnp.bfloat16)
+            grid = grid.reshape(b, gy * gx, gc * gc, gc, c)
+            grid = jnp.einsum('uv,bshvc->bshuc', self.blur_b, grid,
+                              preferred_element_type=jnp.bfloat16)
+            return grid.reshape(b, gy, gx, mc)
         grid = grid.reshape(b, gy, gx, gc, gc, gc * c)
         # color axes: per-cell Pallas kernel, whole cube in VMEM
         kern = functools.partial(_color_blur_kernel, taps=self.taps_col,
@@ -452,29 +537,33 @@ class MXUBilateralGrid:
             gp = jnp.pad(gp, ((0, 0),) * 3 + ((0, self.hip - gc * gc),
                                               (0, 0)))
         kern = functools.partial(_slice_kernel, p_chunks=self.p_chunks,
-                                 n_ch=c, hip=self.hip)
+                                 n_ch=c, hich=self.hich)
 
         def slab_spec(by, bx):
             return pl.BlockSpec(
-                (1, 1, 1, self.hip, gc * c),
-                lambda bb, i, j, by=by, bx=bx: (bb, i + by, j + bx, 0, 0))
+                (1, 1, 1, self.hich, gc * c),
+                lambda bb, i, j, m, by=by, bx=bx: (bb, i + by, j + bx,
+                                                   m, 0))
 
         out = pl.pallas_call(
             kern,
-            grid=(b, self.nty, self.ntx),
+            grid=(b, self.nty, self.ntx, self.hip // self.hich),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, self.p, 2),
-                             lambda bb, i, j: (bb, i, j, 0, 0)),
-                pl.BlockSpec((1, 4 * gc * c), lambda bb, i, j: (0, 0)),
-                pl.BlockSpec((4 * gc * c, 4 * c), lambda bb, i, j: (0, 0)),
-                pl.BlockSpec((self.p, 4), lambda bb, i, j: (0, 0)),
+                             lambda bb, i, j, m: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 4 * gc * c),
+                             lambda bb, i, j, m: (0, 0)),
+                pl.BlockSpec((4 * gc * c, 4 * c),
+                             lambda bb, i, j, m: (0, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j, m: (0, 0)),
                 slab_spec(0, 0), slab_spec(0, 1),
                 slab_spec(1, 0), slab_spec(1, 1),
             ],
             out_specs=pl.BlockSpec((1, 1, 1, self.p, c),
-                                   lambda bb, i, j: (bb, i, j, 0, 0)),
+                                   lambda bb, i, j, m: (bb, i, j, 0, 0)),
             out_shape=jax.ShapeDtypeStruct(
                 (b, self.nty, self.ntx, self.p, c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((self.p, 4 * c), jnp.float32)],
             interpret=self.interpret,
         )(self.hl, self.lanelo_slice, self.rsum, self.wsp,
           gp, gp, gp, gp)

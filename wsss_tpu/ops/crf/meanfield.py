@@ -107,16 +107,31 @@ def _flat_conv_last(x: Array, k: Array, stride: int) -> Array:
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _gauss_band(n: int, sxy: float) -> np.ndarray:
+    """[n, n] band matrix of the truncated 1-D Gaussian (zero-pad conv
+    semantics as a matmul — the separable 13-tap dynamic-slice chain
+    costs ~2 ms at 321^2 where the MXU form is bandwidth-bound).
+    Returns numpy (never cache jnp values: a first call inside a trace
+    would leak the tracer)."""
+    radius = max(1, int(np.ceil(4.0 * sxy)))
+    k = np.zeros((n, n))
+    d = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sxy) ** 2)
+    for off in range(-radius, radius + 1):
+        if abs(off) < n:
+            k += np.diag(np.full(n - abs(off), d[off + radius]), k=off)
+    return k.astype(np.float32)
+
+
 def _gaussian_filter_raw(x: Array, sxy: float,
                          axes: Tuple[int, int] = (0, 1)) -> Array:
     """K @ x with K = exp(-|dp|^2/2 sxy^2) (self weight 1), truncated at
     radius ceil(4*sxy). x: [H,W,C] (or batched, with `axes` naming the
-    two spatial axes)."""
-    radius = max(1, int(np.ceil(4.0 * sxy)))
-    d = np.arange(-radius, radius + 1, dtype=np.float64)
-    k = jnp.asarray(np.exp(-0.5 * (d / sxy) ** 2).astype(np.float32))
-    x = _sep_conv(x, k, axes[0])
-    return _sep_conv(x, k, axes[1])
+    two spatial axes).  Each axis is one band-matrix matmul."""
+    for ax in axes:
+        by = jnp.asarray(_gauss_band(x.shape[ax], float(sxy)))
+        x = jnp.moveaxis(jnp.tensordot(by, x, axes=(1, ax)), 0, ax)
+    return x
 
 
 def gaussian_message(Q: Array, sxy: float,

@@ -146,15 +146,22 @@ def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, oht_ref,
     IRN srgb=5 config has gc=39, hip=1536); the one-hot and weighted
     values persist in scratch across the lo-steps of a tile.
 
-    hit/lot: [1,1,1,1,P] int32 lane-major; xt: [1,1,1,P,C] f32;
-    wsp: [P,4] f32; out: [1,1,1,lb,HIP,4C] bf16; oht: [HIP,P] bf16
-    scratch; wv: [P,4C] bf16 scratch.
+    hit/lot: [1,1,1,1,P] int32 lane-major; xt: [1,t,t,C] f32 fetched
+    straight from image layout (the XLA tile transpose costs ~2.5 ms —
+    100x the bytes/bandwidth bound); wsp: [P,4] f32;
+    out: [1,1,1,lb,HIP,4C] bf16; oht: [HIP,P] bf16 scratch; wv: [P,4C]
+    bf16 scratch.
     """
     l0 = pl.program_id(3) * lb
 
     @pl.when(pl.program_id(3) == 0)
     def _():
-        x = xt_ref[0, 0, 0]                    # [P, C]
+        t, c = xt_ref.shape[1], xt_ref.shape[3]
+        p = wsp_ref.shape[0]
+        x = xt_ref[0].reshape(t * t, c)        # [t*t, C] (leading merge)
+        if p != t * t:
+            x = jnp.concatenate(
+                [x, jnp.zeros((p - t * t, c), x.dtype)], axis=0)
         w = wsp_ref[...]                       # [P, 4]
         wv_ref[...] = jnp.concatenate(
             [w[:, q:q + 1] * x for q in range(4)],
@@ -221,7 +228,8 @@ def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
     (lane -> lo map for the corner-major slab layout); rsum:
     [4*gc*C, 4C] bf16 constant summing lo groups into (q, c); g??:
     [1,1,1,hich,gc*C] bf16 slab chunks (spatial corners via shifted
-    index maps); out: [1,1,1,P,C] f32; acc: [P,4C] f32 scratch.
+    index maps); out: [1,t,t,C] f32 written straight to image layout
+    (skips the XLA untile transpose); acc: [P,4C] f32 scratch.
     """
     c = n_ch
     m_i = pl.program_id(3)
@@ -247,10 +255,12 @@ def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
 
     @pl.when(m_i == pl.num_programs(3) - 1)
     def _():
+        t = out_ref.shape[1]
         w = wsp_ref[...]                       # [P, 4]
         acc = acc_ref[...]
-        out_ref[0, 0, 0] = sum(
-            w[:, q:q + 1] * acc[:, q * c:(q + 1) * c] for q in range(4))
+        out = sum(w[:, q:q + 1] * acc[:, q * c:(q + 1) * c]
+                  for q in range(4))
+        out_ref[0] = out[:t * t].reshape(t, t, c)
 
 
 def _shift_fill(x: Array, off: int, axis: int) -> Array:
@@ -433,8 +443,11 @@ class MXUBilateralGrid:
         return x[:, :h, :w]
 
     # -- phases --------------------------------------------------------
-    def _splat(self, xt: Array) -> Array:
-        b, c, gc = xt.shape[0], self.n_ch, self.gc
+    def _splat(self, xp: Array) -> Array:
+        """xp: [B, Hp, Wp, C] padded image-layout input (tiles are
+        fetched per-block — no XLA tile transpose)."""
+        b, c, gc = xp.shape[0], self.n_ch, self.gc
+        t = self.t
         kern = functools.partial(_splat_kernel, n_ch=c, lb=self.lb,
                                  hip=self.hip)
         part = pl.pallas_call(
@@ -445,8 +458,8 @@ class MXUBilateralGrid:
                              lambda bb, i, j, lc: (bb, i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, 1, self.p),
                              lambda bb, i, j, lc: (bb, i, j, 0, 0)),
-                pl.BlockSpec((1, 1, 1, self.p, c),
-                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, t, t, c),
+                             lambda bb, i, j, lc: (bb, i, j, 0)),
                 pl.BlockSpec((self.p, 4), lambda bb, i, j, lc: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, 1, 1, self.lb, self.hip, 4 * c),
@@ -460,7 +473,7 @@ class MXUBilateralGrid:
                 pltpu.VMEM((self.p, 4 * c), jnp.bfloat16),
             ],
             interpret=self.interpret,
-        )(self.hit_splat, self.lot_splat, xt, self.wsp)
+        )(self.hit_splat, self.lot_splat, xp, self.wsp)
         # combine the 4 corner groups into the [Gy, Gx] grid (tile (i,j)
         # corner (by,bx) -> cell (i+by, j+bx)) with a second tiny kernel
         gy, gx = self.nty + 1, self.ntx + 1
@@ -559,10 +572,10 @@ class MXUBilateralGrid:
                 slab_spec(0, 0), slab_spec(0, 1),
                 slab_spec(1, 0), slab_spec(1, 1),
             ],
-            out_specs=pl.BlockSpec((1, 1, 1, self.p, c),
-                                   lambda bb, i, j, m: (bb, i, j, 0, 0)),
+            out_specs=pl.BlockSpec((1, self.t, self.t, c),
+                                   lambda bb, i, j, m: (bb, i, j, 0)),
             out_shape=jax.ShapeDtypeStruct(
-                (b, self.nty, self.ntx, self.p, c), jnp.float32),
+                (b, self.hp, self.wp, c), jnp.float32),
             scratch_shapes=[pltpu.VMEM((self.p, 4 * c), jnp.float32)],
             interpret=self.interpret,
         )(self.hl, self.lanelo_slice, self.rsum, self.wsp,
@@ -582,8 +595,7 @@ class MXUBilateralGrid:
         x = jnp.pad(x.astype(jnp.float32),
                     ((0, 0), (0, self.hp - h), (0, self.wp - w),
                      (0, self.n_ch - cin)))
-        xt = self._tile(x)
-        grid = self._splat(xt)
+        grid = self._splat(x)
         grid = self._blur(grid)
         out = self._slice(grid)
-        return self._untile(out)[..., :cin].astype(in_dtype)
+        return out[:, :h, :w, :cin].astype(in_dtype)

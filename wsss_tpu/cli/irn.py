@@ -200,6 +200,9 @@ def run_train_irn(args, dirs) -> None:
         return img, irnet.affinity_labels(lab4, tr.path_index,
                                           spec.n_seg_classes)
 
+    from wsss_tpu.utils.timing import profile_trace
+    prof = profile_trace(getattr(args, 'profile_dir', None))
+    prof.__enter__()
     for epoch in range(args.irn_epochs):
         # shuffle=True per epoch (train_irn.py:81-82 DataLoader contract)
         for b in prefetch(ds.batches(args.batchsize, shuffle=True)):
@@ -223,6 +226,7 @@ def run_train_irn(args, dirs) -> None:
             break
     disp_mean = tr.calibrate_disp_mean(variables, infer_imgs) \
         if infer_imgs else np.zeros(2)
+    prof.__exit__(None, None, None)
     checkpoint.save_checkpoint(
         dirs['irn_ckpt'], 0,
         {'variables': variables, 'disp_mean': jnp.asarray(disp_mean)})
@@ -319,6 +323,8 @@ def main(argv=None):
                         '(demo_sem_seg.py:8-18)')
     p.add_argument('--conf_bg_thres', type=float, default=0.05)
     p.add_argument('--irn_crop_size', type=int, default=0)
+    p.add_argument('--profile_dir', default=None,
+                   help='jax.profiler trace output dir (xprof)')
     p.add_argument('--irn_epochs', type=int, default=1)
     p.add_argument('--irn_lr', type=float, default=0.1)
     p.add_argument('--crop_method', default=None,

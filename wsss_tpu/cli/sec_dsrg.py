@@ -93,6 +93,8 @@ def main(argv=None):
     p.add_argument('--val_every', type=int, default=200,
                    help='steps between val mIoU evals during training '
                         '(03a model.py:505-531; 0 = off)')
+    p.add_argument('--profile_dir', default=None,
+                   help='jax.profiler trace output dir (xprof)')
     args = p.parse_args(argv)
 
     spec = registry.get(args.dataset)
@@ -149,6 +151,9 @@ def main(argv=None):
         step_fn = trainer.jitted_step()
         step = 0
         from wsss_tpu.data.pipeline import prefetch
+        from wsss_tpu.utils.timing import profile_trace
+        prof = profile_trace(args.profile_dir)
+        prof.__enter__()
         for epoch in range(args.epochs):
             # per-epoch shuffle (03a model.py:279 tf.data .shuffle) with a
             # prefetch thread overlapping decode with the train step
@@ -192,6 +197,7 @@ def main(argv=None):
             checkpoint.save_checkpoint(
                 ckpt_root, step, {'params': params,
                                   'opt_state': opt_state})
+        prof.__exit__(None, None, None)
         print(f'trained {run_id} for {step} steps')
         return
 

@@ -142,9 +142,32 @@ class DevkitDataset:
         else:
             raise FileNotFoundError(f'no split list {txt} / {csv}')
         if tags is None:
+            tags = self._resolve_tags(names, split_dir)
+        if tags is None:
             tags = np.zeros((len(names), self.spec.n_fg_classes),
                             np.float32)
         return names, tags
+
+    def _resolve_tags(self, names, split_dir):
+        """Tags for txt-only splits, in the reference's resolution
+        order: cls_labels.npy cache (make_cls_labels family), VOC
+        Annotations XML, classes present in the GT masks."""
+        from wsss_tpu.data import cls_labels as _cl
+        tags = _cl.load_cache(split_dir, self.split, names)
+        if tags is not None:
+            return tags
+        img_dir, gt_dir, _ = self._dirs()
+        if self.spec.name == 'VOC2012':
+            ann = os.path.join(os.path.dirname(img_dir), 'Annotations')
+            tags = _cl.tags_from_voc_xml(ann, names,
+                                         self.spec.fg_class_names)
+            if tags is not None:
+                return tags
+        gt_paths = [os.path.join(gt_dir,
+                                 os.path.splitext(n)[0] + '.png')
+                    for n in names]
+        return _cl.tags_from_gt(gt_paths, self.spec.n_fg_classes,
+                                self.spec.n_bg_channels)
 
     def __len__(self):
         return len(self.names)

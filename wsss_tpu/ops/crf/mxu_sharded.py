@@ -27,8 +27,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from wsss_tpu.ops.crf import mxu_grid as _mxu
 from wsss_tpu.ops.crf.meanfield import _gaussian_filter_raw

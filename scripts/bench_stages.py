@@ -1,0 +1,85 @@
+"""Secondary throughput benchmarks: one line of JSON per pipeline stage.
+
+Complements bench.py's headline (02_cues+CRF) with the other hot paths:
+IRN multi-scale CAM inference, SEC predict + test-time CRF (the sxy=80
+grid config), and the random-walk semantic-segmentation propagation.
+Run on the real TPU:  python scripts/bench_stages.py
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(out):
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(out)
+    float(np.asarray(jnp.sum(jnp.asarray(leaves[0]).astype(jnp.float32))))
+
+
+def bench(name, fn, n_items, iters=5, warmup=1):
+    for _ in range(warmup):
+        out = fn()
+    _sync(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    _sync(out)
+    dt = (time.time() - t0) / iters
+    print(json.dumps({'metric': name,
+                      'value': round(n_items / dt, 2),
+                      'unit': 'images/sec/chip'}))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from wsss_tpu.data import registry
+    from wsss_tpu.methods import gradcam_cues as gc
+    from wsss_tpu.methods.irnet import CAMInference
+    from wsss_tpu.ops import random_walk
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf.meanfield import mean_field
+
+    spec = registry.get('VOC2012')
+    size = 321
+    rng = np.random.default_rng(0)
+
+    # --- IRN make_cam: 4-scale MSF CAM inference, batch of 4 ----------
+    handle = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size)
+    cam = CAMInference(handle, spec, 'VGG16')
+    imgs4 = jnp.asarray(rng.uniform(0, 255, (4, size, size, 3))
+                        .astype(np.float32))
+    bench('irn_make_cam_msf', lambda: cam._msf_batch(imgs4), 4)
+
+    # --- SEC predict: FCN logits -> upsample -> test-time CRF ---------
+    from wsss_tpu.train.sec_dsrg import SECDSRGTrainer
+    tr = SECDSRGTrainer('SEC', 'VOC2012', spec.n_seg_classes)
+    params = tr.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, size, size, 3)))[0]
+    cfg = crf_config.SEC_TEST['VOC2012']
+    imgs_raw = jnp.asarray(rng.uniform(0, 255, (4, size, size, 3))
+                           .astype(np.float32))
+    fwd = jax.jit(lambda p, x: tr.predict_logits(p, x))
+    from wsss_tpu.ops.filters import resize_bilinear
+
+    def sec_predict():
+        logits = fwd(params, imgs_raw / 255.0)
+        probs = jax.nn.softmax(
+            resize_bilinear(logits, (size, size)), axis=-1)
+        return mean_field(probs, imgs_raw, cfg)
+    bench('sec_predict_crf', sec_predict, 4)
+
+    # --- IRN random walk: 80^2 grid (321/4), exp_times=8 --------------
+    camk = jnp.asarray(rng.uniform(0, 1, (21, 80, 80)).astype(np.float32))
+    edge = jnp.asarray(rng.uniform(0, 1, (80, 80)).astype(np.float32))
+    bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
+        camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
+
+
+if __name__ == '__main__':
+    main()

@@ -10,9 +10,10 @@ import jax.numpy as jnp
 from wsss_tpu.ops.crf import mxu_grid
 
 
-def _ref_filter(img, x, t, srgb):
-    """Numpy oracle: bilinear-spatial/nearest-color splat -> radius-2
-    separable blur (calibrated sigmas) -> bilinear/nearest slice."""
+def _ref_filter(img, x, t, srgb, k_sp=1):
+    """Numpy oracle: bilinear-spatial/nearest-color splat -> separable
+    blur (calibrated sigmas; spatial sigma sqrt(k^2-1/3) cells with
+    radius 3*sigma) -> bilinear/nearest slice."""
     h, w, c = x.shape
     nty, ntx = -(-h // t), -(-w // t)
     gy, gx = nty + 1, ntx + 1
@@ -29,13 +30,15 @@ def _ref_filter(img, x, t, srgb):
                     grid[ly + by, lx + bx, cr, cg, cb] += (
                         wy * wx * x[y, xx])
 
-    def conv_axis(g, sigma, axis):
-        r = mxu_grid._BLUR_RADIUS
-        taps = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+    def conv_axis(g, sigma, radius, axis):
+        taps = np.exp(-0.5 * (np.arange(-radius, radius + 1)
+                              / sigma) ** 2)
         out = np.zeros_like(g)
         n = g.shape[axis]
         for i, tap in enumerate(taps):
-            off = i - r
+            off = i - radius
+            if abs(off) >= n:
+                continue
             src = [slice(None)] * g.ndim
             dst = [slice(None)] * g.ndim
             src[axis] = slice(max(0, off), min(n, n + off))
@@ -43,12 +46,14 @@ def _ref_filter(img, x, t, srgb):
             out[tuple(dst)] += tap * g[tuple(src)]
         return out
 
-    for axis, sig in ((0, mxu_grid._SIGMA_SPATIAL),
-                      (1, mxu_grid._SIGMA_SPATIAL),
-                      (2, mxu_grid._SIGMA_COLOR),
-                      (3, mxu_grid._SIGMA_COLOR),
-                      (4, mxu_grid._SIGMA_COLOR)):
-        grid = conv_axis(grid, sig, axis)
+    sig_sp = np.sqrt(k_sp ** 2 - 1.0 / 3.0)
+    rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
+    for axis, sig, rad in ((0, sig_sp, rad_sp),
+                           (1, sig_sp, rad_sp),
+                           (2, mxu_grid._SIGMA_COLOR, 2),
+                           (3, mxu_grid._SIGMA_COLOR, 2),
+                           (4, mxu_grid._SIGMA_COLOR, 2)):
+        grid = conv_axis(grid, sig, rad, axis)
 
     out = np.zeros_like(x, np.float64)
     for y in range(h):
@@ -61,6 +66,23 @@ def _ref_filter(img, x, t, srgb):
                     out[y, xx] += wy * wx * grid[
                         ly + by, lx + bx, cr, cg, cb]
     return out
+
+
+def test_mxu_filter_subcell_spatial_matches_oracle(monkeypatch):
+    """sxy > _MAX_TILE splits the spatial cell (t = sxy/k) with the blur
+    sigma rescaled to k cells — parity vs the oracle at k=2."""
+    monkeypatch.setattr(mxu_grid, '_MAX_TILE', 3)
+    h, w, c, srgb = 13, 11, 3, 64.0
+    rng = np.random.default_rng(2)
+    imgs = rng.uniform(0, 255, (1, h, w, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (1, h, w, c)).astype(np.float32)
+    g = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 6.0, srgb, c,
+                                  interpret=True)
+    assert (g.t, g.k_sp) == (3, 2)
+    got = np.asarray(g.filter(jnp.asarray(x)))[0]
+    want = _ref_filter(imgs[0], x[0].astype(np.float64), 3, srgb, k_sp=2)
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
 
 
 @pytest.mark.parametrize('hw,t,srgb,c', [

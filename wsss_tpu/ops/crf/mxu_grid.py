@@ -47,13 +47,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# blur applied inside the grid, in grid units (radius-2 taps, calibrated
-# like meanfield._GRID_BLUR_SIGMA): bilinear splat+slice adds 1/3 variance
-# per spatial axis -> sigma 0.816; nearest color both ways adds 1/6 ->
-# sigma 0.913.
-_SIGMA_SPATIAL = 0.816
+# blur applied inside the grid, in grid units (calibrated like
+# meanfield._GRID_BLUR_SIGMA): bilinear splat+slice adds 1/3 variance per
+# spatial axis; with spatial cells of sxy/k the blur sigma is
+# sqrt(k^2 - 1/3) cells (k=1 -> 0.816).  Nearest color both ways adds
+# 1/6 -> sigma 0.913 at cell_mult=1.
 _SIGMA_COLOR = 0.913
-_BLUR_RADIUS = 2
+_BLUR_RADIUS = 2            # color-axis taps (Pallas kernel)
+_MAX_TILE = 48              # spatial cell cap: bounds P = t^2 in VMEM
+
+
+def _spatial_cell(sxy: float):
+    """(t, k): spatial cell size t = round(sxy)/k with the smallest k
+    that keeps the per-tile pixel count VMEM-friendly; None if sxy is
+    not an integer or has no suitable divisor."""
+    t0 = int(round(sxy))
+    if abs(sxy - t0) > 1e-6 or t0 < 3:
+        return None
+    for k in range(1, t0 + 1):
+        if t0 % k == 0 and t0 // k <= _MAX_TILE:
+            return t0 // k, k
+    return None
 
 _PCH = 512          # pixels per matmul chunk, slice kernel (VMEM-driven)
 
@@ -85,9 +99,10 @@ def applicable(sxy: float, srgb: float, n_ch: int = 32,
     """Whether the MXU grid supports this kernel config: integer cell
     size (tiles must align with grid cells) and factor sizes whose
     VMEM working set fits after hi/lo chunking."""
-    t = int(round(sxy))
-    if abs(sxy - t) > 1e-6 or t < 3:
+    tk = _spatial_cell(sxy)
+    if tk is None:
         return False
+    t, _ = tk
     gc, _ = grid_dims(srgb, cell_mult)
     hip = _round_up(gc * gc, 16)
     p = _round_up(t * t, 16)
@@ -326,9 +341,10 @@ class MXUBilateralGrid:
             raise ValueError(f'mxu grid inapplicable for sxy={sxy} '
                              f'srgb={srgb} n_ch={n_ch}')
         b, h, w = imgs.shape[:3]
-        t = int(round(sxy))
+        t, k_sp = _spatial_cell(sxy)
         self.bhw = (b, h, w)
         self.t = t
+        self.k_sp = k_sp
         self.n_ch = c = n_ch
         self.interpret = interpret
         self.nty, self.ntx = -(-h // t), -(-w // t)
@@ -397,16 +413,25 @@ class MXUBilateralGrid:
         # measured 4.8 ms vs ~1 ms for the einsum form)
         gy, gx = self.nty + 1, self.ntx + 1
 
-        def band(n, taps):
-            k = np.zeros((n, n))
-            for d in range(-_BLUR_RADIUS, _BLUR_RADIUS + 1):
-                k += np.diag(np.full(n - abs(d), taps[d + _BLUR_RADIUS]),
-                             k=d)
-            return k
+        def band(n, sigma, radius):
+            m_ = np.zeros((n, n))
+            d = np.exp(-0.5 * (np.arange(-radius, radius + 1)
+                               / sigma) ** 2)
+            for off in range(-radius, radius + 1):
+                if abs(off) < n:
+                    m_ += np.diag(np.full(n - abs(off), d[off + radius]),
+                                  k=off)
+            return m_
 
-        tsp = np.asarray(_blur_taps(_SIGMA_SPATIAL), np.float64)
+        # spatial sigma in cell units: the target kernel is sxy = k_sp
+        # cells wide, minus the bilinear splat+slice variance (1/6+1/6
+        # per axis); the band radius tracks the sigma (cells can be a
+        # fraction of sxy so the blur may span many cells)
+        sig_sp = float(np.sqrt(self.k_sp ** 2 - 1.0 / 3.0))
+        rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
         self.blur_sp = jnp.asarray(
-            np.kron(band(gy, tsp), band(gx, tsp)).astype(np.float32),
+            np.kron(band(gy, sig_sp, rad_sp),
+                    band(gx, sig_sp, rad_sp)).astype(np.float32),
             jnp.bfloat16)
         self.taps_col = _blur_taps(sig_col)
         # large color cubes exceed the per-cell VMEM budget of the Pallas
@@ -414,12 +439,13 @@ class MXUBilateralGrid:
         # sizes — 9.5 vs 4.8 ms — but bounded memory)
         self.color_blur_einsum = gc ** 3 * c > 1_000_000
         if self.color_blur_einsum:
-            tcol = np.asarray(self.taps_col, np.float64)
             self.blur_rg = jnp.asarray(
-                np.kron(band(gc, tcol), band(gc, tcol)).astype(
+                np.kron(band(gc, sig_col, _BLUR_RADIUS),
+                        band(gc, sig_col, _BLUR_RADIUS)).astype(
                     np.float32), jnp.bfloat16)
             self.blur_b = jnp.asarray(
-                band(gc, tcol).astype(np.float32), jnp.bfloat16)
+                band(gc, sig_col, _BLUR_RADIUS).astype(np.float32),
+                jnp.bfloat16)
 
     # -- layout helpers ----------------------------------------------------
     def _tile(self, x: Array) -> Array:

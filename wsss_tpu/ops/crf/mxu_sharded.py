@@ -34,7 +34,15 @@ from wsss_tpu.ops.crf.meanfield import _gaussian_filter_raw
 
 Array = jax.Array
 
-_HALO_TILES = 6     # 2 x (blur radius 2 + bilinear 1) spatial cells
+
+def _halo_px(sxy: float) -> tuple:
+    """(cell t, halo pixels): halo = 2 x kernel reach, where reach =
+    (spatial blur radius + 1 bilinear cell) tiles of t px.  Tracks
+    mxu_grid's sub-cell spatial sampling (cell = sxy/k)."""
+    import numpy as np
+    t, k = _mxu._spatial_cell(sxy)
+    rad = max(2, int(np.ceil(3.0 * np.sqrt(k * k - 1.0 / 3.0))))
+    return t, 2 * (rad + 1) * t
 
 
 def _exchange_rows(x: Array, halo: int, axis_name: str) -> Array:
@@ -66,11 +74,10 @@ def mean_field_sharded(probs: Array, img: Array, config, mesh: Mesh,
     """
     h, w = probs.shape[:2]
     c = probs.shape[-1]
-    t = int(round(config.bi_sxy))
     if not _mxu.applicable(config.bi_sxy, config.bi_srgb, c):
         raise ValueError('config not MXU-grid applicable')
+    t, halo = _halo_px(config.bi_sxy)
     ndev = mesh.shape[axis]
-    halo = _HALO_TILES * t
     hp = -(-h // (ndev * t)) * (ndev * t)
     rows = hp // ndev
     if rows < halo:

@@ -128,9 +128,16 @@ def _gaussian_filter_raw(x: Array, sxy: float,
     """K @ x with K = exp(-|dp|^2/2 sxy^2) (self weight 1), truncated at
     radius ceil(4*sxy). x: [H,W,C] (or batched, with `axes` naming the
     two spatial axes).  Each axis is one band-matrix matmul."""
-    for ax in axes:
-        by = jnp.asarray(_gauss_band(x.shape[ax], float(sxy)))
-        x = jnp.moveaxis(jnp.tensordot(by, x, axes=(1, ax)), 0, ax)
+    b0, b1 = (jnp.asarray(_gauss_band(x.shape[ax], float(sxy)))
+              for ax in axes)
+    if x.ndim == 3 and axes == (0, 1):
+        x = jnp.einsum('yz,zwc->ywc', b0, x)
+        return jnp.einsum('wv,yvc->ywc', b1, x)
+    if x.ndim == 4 and axes == (1, 2):
+        x = jnp.einsum('yz,bzwc->bywc', b0, x)
+        return jnp.einsum('wv,byvc->bywc', b1, x)
+    for ax, band in zip(axes, (b0, b1)):      # generic fallback
+        x = jnp.moveaxis(jnp.tensordot(band, x, axes=(1, ax)), 0, ax)
     return x
 
 
@@ -487,8 +494,13 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     grid = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, c,
                                  interpret=interpret,
                                  cell_mult=cell_mult)
+    # the one-off normalizer filters a single channel: a dedicated C=1
+    # grid avoids paying a full C-wide filter pass for it
+    grid1 = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, 1,
+                                  interpret=interpret,
+                                  cell_mult=cell_mult)
     ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
-    n_b = jax.lax.rsqrt(jnp.maximum(grid.filter(ones), 1e-20))
+    n_b = jax.lax.rsqrt(jnp.maximum(grid1.filter(ones), 1e-20))
     if g_compat:
         n_g = jax.lax.rsqrt(jnp.maximum(
             _gaussian_filter_raw(ones, g_sxy, axes=(1, 2)), 1e-20))

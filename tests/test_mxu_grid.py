@@ -196,3 +196,76 @@ def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
     assert corr > 0.95, corr
     agree = (got.argmax(-1) == want.argmax(-1)).mean()
     assert agree > 0.9, agree
+
+
+def _ref_filter_aligned(img, x, t, srgb, cell_mult=1.0):
+    """Numpy oracle for the aligned grid: nearest splat/slice into the
+    containing tile's cell, sigma sqrt(4 - 1/6) spatial cells."""
+    h, w, c = x.shape
+    nty, ntx = -(-h // t), -(-w // t)
+    gc = int(round(255.0 / (srgb * cell_mult))) + 1
+    grid = np.zeros((nty, ntx, gc, gc, gc, c), np.float64)
+    cell = np.clip(np.round(img / (srgb * cell_mult)).astype(int), 0,
+                   gc - 1)
+    for y in range(h):
+        for xx in range(w):
+            cr, cg, cb = cell[y, xx]
+            grid[y // t, xx // t, cr, cg, cb] += x[y, xx]
+
+    def conv_axis(g, sigma, radius, axis):
+        taps = np.exp(-0.5 * (np.arange(-radius, radius + 1)
+                              / sigma) ** 2)
+        out = np.zeros_like(g)
+        n = g.shape[axis]
+        for i, tap in enumerate(taps):
+            off = i - radius
+            if abs(off) >= n:
+                continue
+            src = [slice(None)] * g.ndim
+            dst = [slice(None)] * g.ndim
+            src[axis] = slice(max(0, off), min(n, n + off))
+            dst[axis] = slice(max(0, -off), min(n, n - off))
+            out[tuple(dst)] += tap * g[tuple(src)]
+        return out
+
+    sig_sp = np.sqrt(4.0 - 1.0 / 6.0)
+    rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
+    sig_c = np.sqrt(max((1.0 / cell_mult) ** 2 - 1.0 / 6.0, 0.05))
+    for axis, sig, rad in ((0, sig_sp, rad_sp), (1, sig_sp, rad_sp),
+                           (2, sig_c, 2), (3, sig_c, 2), (4, sig_c, 2)):
+        grid = conv_axis(grid, sig, rad, axis)
+
+    out = np.zeros_like(x, np.float64)
+    for y in range(h):
+        for xx in range(w):
+            cr, cg, cb = cell[y, xx]
+            out[y, xx] = grid[y // t, xx // t, cr, cg, cb]
+    return out
+
+
+@pytest.mark.parametrize('hw,sxy,srgb,c', [
+    ((13, 17), 6.0, 64.0, 3),    # t=3, ragged tiles
+    ((16, 16), 8.0, 96.0, 5),    # t=4, exact tiles
+])
+def test_aligned_filter_matches_numpy_oracle(hw, sxy, srgb, c):
+    h, w = hw
+    rng = np.random.default_rng(1)
+    imgs = rng.uniform(0, 255, (2, h, w, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (2, h, w, c)).astype(np.float32)
+    g = mxu_grid.AlignedBilateralGrid(jnp.asarray(imgs), sxy, srgb, c,
+                                      interpret=True)
+    got = np.asarray(g.filter(jnp.asarray(x)))
+    for b in range(2):
+        want = _ref_filter_aligned(imgs[b], x[b].astype(np.float64),
+                                   int(sxy) // 2, srgb)
+        scale = np.abs(want).max() + 1e-6
+        np.testing.assert_allclose(got[b] / scale, want / scale,
+                                   atol=2e-2)
+
+
+def test_aligned_applicable():
+    assert mxu_grid.aligned_applicable(40.0, 13.0)   # bench config
+    assert mxu_grid.aligned_applicable(80.0, 13.0)
+    assert not mxu_grid.aligned_applicable(41.0, 13.0)  # odd sxy
+    assert not mxu_grid.aligned_applicable(40.5, 13.0)
+    assert not mxu_grid.aligned_applicable(4.0, 13.0)   # t=2 < 3

@@ -491,6 +491,12 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     logits0 = -U - jnp.max(-U, axis=-1, keepdims=True)
     Q = jax.nn.softmax(logits0, axis=-1)
 
+    # NOTE: the aligned (nearest, sxy/2-cell) variant does ~4x fewer
+    # one-hot matmul MACs but measures SLOWER end-to-end (53.7 vs
+    # 42 ms/img at the bench config) — its per-cell independence
+    # fragments the work into [256,400]x[400,88] dots whose fixed MXU
+    # pipeline cost dominates.  Kept as AlignedBilateralGrid for study;
+    # the bilinear sxy-cell grid stays the production path.
     grid = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, c,
                                  interpret=interpret,
                                  cell_mult=cell_mult)

@@ -625,3 +625,301 @@ class MXUBilateralGrid:
         grid = self._blur(grid)
         out = self._slice(grid)
         return out[:, :h, :w, :cin].astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Aligned grid: nearest splat/slice on sxy/2 cells
+# ---------------------------------------------------------------------------
+
+def aligned_applicable(sxy: float, srgb: float, n_ch: int = 32,
+                       cell_mult: float = 1.0) -> bool:
+    """The aligned variant needs an even integer sxy (cells of sxy/2
+    centered on the tiles) plus the same color-cube budgets."""
+    t0 = int(round(sxy))
+    if abs(sxy - t0) > 1e-6 or t0 % 2 or not 3 <= t0 // 2 <= 48:
+        return False
+    gc, _ = grid_dims(srgb, cell_mult)
+    return (gc * gc <= 4096 and gc * 4 * n_ch <= 4096
+            and gc ** 3 * 4 * n_ch <= 2_500_000)
+
+
+def _splat_aligned_kernel(hit_ref, lo_ref, xrow_ref, out_ref, *, n_ch,
+                          gc4, hip, t, jc):
+    """Tile-ROW splat into each tile's OWN cell (cells are centered on
+    tiles, so nearest assignment = containing tile — no corner weights,
+    no combine pass):
+        out[j, l4, hi, q*C+c] = sum_p 1[hi=hi(p)] 1[lo=4*l4+q] x[p,c]
+
+    Four lo planes pack the matmul N dim.  Blocks span a full tile ROW:
+    Mosaic requires the 2nd-to-last block dim divisible by 8, which a
+    bare [t, t, C] tile violates for t % 8 != 0; the row block's last
+    two dims equal the array dims, and per-tile extraction is a cheap
+    static sublane slice.
+
+    hit: [1,1,ntx,1,P] int32 lane-major; lo: [1,1,ntx,P,1] int32;
+    xrow: [1,1,t,Wp,C] f32; out: [1,1,ntx,gc4,HIP,4C] bf16.
+    """
+    c = n_ch
+    p = lo_ref.shape[3]
+    for j in range(jc):
+        x = xrow_ref[0, 0, :, j * t:(j + 1) * t, :].reshape(t * t, c)
+        if p != t * t:
+            x = jnp.concatenate(
+                [x, jnp.zeros((p - t * t, c), x.dtype)], axis=0)
+        lo = lo_ref[0, 0, j]                   # [P, 1]
+        hit = hit_ref[0, 0, j]                 # [1, P]
+        oht = (jax.lax.broadcasted_iota(jnp.int32, (hip, p), 0)
+               == hit).astype(jnp.bfloat16)    # [HIP, P]
+        for l4 in range(gc4):
+            w1 = jnp.concatenate(
+                [x * (lo == 4 * l4 + q) for q in range(4)],
+                axis=1).astype(jnp.bfloat16)   # [P, 4C]
+            out_ref[0, 0, j, l4] = jnp.dot(
+                oht, w1, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+
+def _slice_aligned_kernel(hl_ref, lanelo_ref, rsum_ref, g_ref, out_ref,
+                          acc_ref, *, p_chunks, n_ch, hip, t, jc):
+    """Tile-ROW slice from each tile's OWN cell slab (no corner
+    packing): out[p,c] = G[cn(p), c].
+
+    hl: [1,1,ntx,P,2] int32 (hi, lo packed); lanelo: [1, gc*C];
+    rsum: [gc*C, C] bf16 lo-group sum; g: [1,1,ntx,HIP,gc*C] bf16;
+    out: [1,1,t,Wp,C] f32; acc: [P,C] f32 scratch.
+    """
+    c = n_ch
+    lanelo = lanelo_ref[...]                   # [1, gc*C]
+    for j in range(jc):
+        slab = g_ref[0, 0, j]                  # [HIP, gc*C]
+        hl = hl_ref[0, 0, j]                   # [P, 2]
+        hi, lo = hl[:, 0:1], hl[:, 1:2]
+        for p0, pk in p_chunks:
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (pk, hip), 1)
+                  == hi[p0:p0 + pk]).astype(jnp.bfloat16)
+            t2 = jnp.dot(oh, slab, preferred_element_type=jnp.float32)
+            t2 = (t2.astype(jnp.bfloat16)
+                  * (lanelo == lo[p0:p0 + pk]).astype(jnp.bfloat16))
+            acc_ref[p0:p0 + pk, :] = jnp.dot(
+                t2, rsum_ref[...], preferred_element_type=jnp.float32)
+        out_ref[0, 0, :, j * t:(j + 1) * t, :] = (
+            acc_ref[:t * t, :].reshape(t, t, c))
+
+
+class AlignedBilateralGrid:
+    """Nearest-splat / nearest-slice bilateral grid on cells of sxy/2,
+    centered on the pixel tiles.
+
+    Versus :class:`MXUBilateralGrid` (bilinear on sxy cells): each tile
+    touches exactly ONE color-cube slab, so the corner packing, corner
+    weights, and the combine pass all disappear — ~4x fewer one-hot
+    matmul MACs — while the 2x finer spatial sampling compensates the
+    nearest interpolation (on the adversarial fidelity toy the
+    nearest/half-cell variant scores HIGHER than bilinear/full-cell:
+    0.89 vs 0.82 at sxy=4).  The in-grid blur sigma absorbs the
+    interpolation variance: sqrt(k^2 - 1/6) cells with k=2.
+    """
+
+    K_SP = 2
+
+    def __init__(self, imgs: Array, sxy: float, srgb: float, n_ch: int,
+                 interpret: bool = False, cell_mult: float = 1.0):
+        if imgs.ndim != 4:
+            raise ValueError('AlignedBilateralGrid wants [B,H,W,3]')
+        if not aligned_applicable(sxy, srgb, n_ch, cell_mult):
+            raise ValueError(f'aligned grid inapplicable for sxy={sxy} '
+                             f'srgb={srgb} n_ch={n_ch}')
+        b, h, w = imgs.shape[:3]
+        t = int(round(sxy)) // self.K_SP
+        self.bhw = (b, h, w)
+        self.t = t
+        self.n_ch = c = n_ch
+        self.interpret = interpret
+        self.nty = -(-h // t)
+        ntx = -(-w // t)
+        # column groups: a full tile row in VMEM busts the budget at
+        # 321^2 (the [P,1]/[P,2] index blocks lane-pad to 128)
+        self.jc = min(ntx, 8)
+        self.njc = -(-ntx // self.jc)
+        self.ntx = self.njc * self.jc
+        self.hp, self.wp = self.nty * t, self.ntx * t
+        gc, m = grid_dims(srgb, cell_mult)
+        self.gc, self.m = gc, m
+        self.gc4 = -(-gc // 4)
+        sig_col = float(np.sqrt(max((1.0 / cell_mult) ** 2 - 1.0 / 6.0,
+                                    0.05)))
+        self.hip = _round_up(gc * gc, 16)
+        p = _round_up(t * t, 16)
+        self.p = p
+        self.p_chunks = _chunks(p, _PCH)
+
+        imgp = jnp.pad(imgs.astype(jnp.float32),
+                       ((0, 0), (0, self.hp - h), (0, self.wp - w),
+                        (0, 0)))
+        cell = jnp.clip(jnp.round(imgp / (srgb * cell_mult)
+                                  ).astype(jnp.int32), 0, gc - 1)
+
+        def tiled(x):
+            x = x.reshape(b, self.nty, t, self.ntx, t)
+            return x.transpose(0, 1, 3, 2, 4).reshape(
+                b, self.nty, self.ntx, t * t)
+
+        def padp(x):
+            if self.p != t * t:
+                x = jnp.pad(x, ((0, 0),) * 3 + ((0, self.p - t * t),))
+            return x
+
+        # slice factorization: hi = (cr,cg), lo = cb
+        hi = padp(tiled(cell[..., 0] * gc + cell[..., 1]))
+        lo = padp(tiled(cell[..., 2]))
+        self.hl = jnp.stack([hi, lo], axis=-1)         # [B,nty,ntx,P,2]
+        # splat factorization: lo = cr (major -> m-order), hi = (cg,cb)
+        self.hit_splat = padp(tiled(
+            cell[..., 1] * gc + cell[..., 2]))[..., None, :]
+        self.lo_splat = padp(tiled(cell[..., 0]))[..., None]
+
+        self.lanelo_slice = jnp.asarray(
+            np.arange(gc).repeat(c)[None], jnp.int32)  # [1, gc*C]
+        rsum = np.zeros((gc * c, c), np.float32)
+        for l in range(gc):
+            rsum[l * c:(l + 1) * c] = np.eye(c)
+        self.rsum = jnp.asarray(rsum, jnp.bfloat16)
+
+        def band(n, sigma, radius):
+            m_ = np.zeros((n, n))
+            d = np.exp(-0.5 * (np.arange(-radius, radius + 1)
+                               / sigma) ** 2)
+            for off in range(-radius, radius + 1):
+                if abs(off) < n:
+                    m_ += np.diag(np.full(n - abs(off), d[off + radius]),
+                                  k=off)
+            return m_
+
+        # nearest splat + slice: 1/12 + 1/12 interpolation variance
+        sig_sp = float(np.sqrt(self.K_SP ** 2 - 1.0 / 6.0))
+        rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
+        self.blur_sp = jnp.asarray(
+            np.kron(band(self.nty, sig_sp, rad_sp),
+                    band(self.ntx, sig_sp, rad_sp)).astype(np.float32),
+            jnp.bfloat16)
+        self.taps_col = _blur_taps(sig_col)
+        self.color_blur_einsum = gc ** 3 * c > 1_000_000
+        if self.color_blur_einsum:
+            self.blur_rg = jnp.asarray(
+                np.kron(band(gc, sig_col, _BLUR_RADIUS),
+                        band(gc, sig_col, _BLUR_RADIUS)).astype(
+                    np.float32), jnp.bfloat16)
+            self.blur_b = jnp.asarray(
+                band(gc, sig_col, _BLUR_RADIUS).astype(np.float32),
+                jnp.bfloat16)
+
+    def _splat(self, xp: Array) -> Array:
+        b, c, gc = xp.shape[0], self.n_ch, self.gc
+        t = self.t
+        xv = xp.reshape(b, self.nty, t, self.wp, c)
+        kern = functools.partial(_splat_aligned_kernel, n_ch=c,
+                                 gc4=self.gc4, hip=self.hip, t=t,
+                                 jc=self.jc)
+        part = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.njc),
+            in_specs=[
+                pl.BlockSpec((1, 1, self.jc, 1, self.p),
+                             lambda bb, i, jg: (bb, i, jg, 0, 0)),
+                pl.BlockSpec((1, 1, self.jc, self.p, 1),
+                             lambda bb, i, jg: (bb, i, jg, 0, 0)),
+                pl.BlockSpec((1, 1, t, self.jc * t, c),
+                             lambda bb, i, jg: (bb, i, 0, jg, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, self.jc, self.gc4, self.hip, 4 * c),
+                lambda bb, i, jg: (bb, i, jg, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.nty, self.ntx, self.gc4, self.hip, 4 * c),
+                jnp.bfloat16),
+            interpret=self.interpret,
+        )(self.hit_splat, self.lo_splat, xv)
+        # [gc4, hip, 4, C] -> lo-major [gc, hip(:gc^2), C] m-order
+        part = part.reshape(b, self.nty, self.ntx, self.gc4, self.hip,
+                            4, c)
+        part = part.transpose(0, 1, 2, 3, 5, 4, 6)
+        part = part.reshape(b, self.nty, self.ntx, self.gc4 * 4,
+                            self.hip, c)[:, :, :, :gc, :gc * gc]
+        return part.reshape(b, self.nty, self.ntx, self.m * c)
+
+    def _blur(self, grid: Array) -> Array:
+        b = grid.shape[0]
+        gc, c = self.gc, self.n_ch
+        mc = self.m * c
+        grid = grid.reshape(b, self.nty * self.ntx, mc)
+        grid = jnp.einsum('st,btf->bsf', self.blur_sp, grid,
+                          preferred_element_type=jnp.bfloat16)
+        if self.color_blur_einsum:
+            grid = grid.reshape(b, -1, gc * gc, gc * c)
+            grid = jnp.einsum('uv,bsvf->bsuf', self.blur_rg, grid,
+                              preferred_element_type=jnp.bfloat16)
+            grid = grid.reshape(b, -1, gc * gc, gc, c)
+            grid = jnp.einsum('uv,bshvc->bshuc', self.blur_b, grid,
+                              preferred_element_type=jnp.bfloat16)
+            return grid.reshape(b, self.nty, self.ntx, mc)
+        grid = grid.reshape(b, self.nty, self.ntx, gc, gc, gc * c)
+        kern = functools.partial(_color_blur_kernel, taps=self.taps_col,
+                                 n_ch=c, gc=gc)
+        grid = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.ntx),
+            in_specs=[pl.BlockSpec((1, 1, 1, gc, gc, gc * c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0, 0))],
+            out_specs=pl.BlockSpec((1, 1, 1, gc, gc, gc * c),
+                                   lambda bb, i, j: (bb, i, j, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.bfloat16),
+            interpret=self.interpret,
+        )(grid)
+        return grid.reshape(b, self.nty, self.ntx, mc)
+
+    def _slice(self, grid: Array) -> Array:
+        b, c, gc = grid.shape[0], self.n_ch, self.gc
+        t = self.t
+        gp = grid.reshape(b, self.nty, self.ntx, gc * gc, gc * c)
+        if self.hip != gc * gc:
+            gp = jnp.pad(gp, ((0, 0),) * 3 + ((0, self.hip - gc * gc),
+                                              (0, 0)))
+        kern = functools.partial(_slice_aligned_kernel,
+                                 p_chunks=self.p_chunks, n_ch=c,
+                                 hip=self.hip, t=t, jc=self.jc)
+        out = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.njc),
+            in_specs=[
+                pl.BlockSpec((1, 1, self.jc, self.p, 2),
+                             lambda bb, i, jg: (bb, i, jg, 0, 0)),
+                pl.BlockSpec((1, gc * c), lambda bb, i, jg: (0, 0)),
+                pl.BlockSpec((gc * c, c), lambda bb, i, jg: (0, 0)),
+                pl.BlockSpec((1, 1, self.jc, self.hip, gc * c),
+                             lambda bb, i, jg: (bb, i, jg, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, t, self.jc * t, c),
+                                   lambda bb, i, jg: (bb, i, 0, jg, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.nty, t, self.wp, c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((self.p, c), jnp.float32)],
+            interpret=self.interpret,
+        )(self.hl, self.lanelo_slice, self.rsum, gp)
+        return out.reshape(b, self.hp, self.wp, c)
+
+    def filter(self, x: Array) -> Array:
+        """Approximate K @ x per image.  x: [B, H, W, C'] with
+        C' <= n_ch (narrow inputs zero-padded through, sliced back)."""
+        in_dtype = x.dtype
+        b, h, w = self.bhw
+        cin = x.shape[-1]
+        if cin > self.n_ch:
+            raise ValueError(f'filter input has {cin} channels; grid '
+                             f'built for {self.n_ch}')
+        x = jnp.pad(x.astype(jnp.float32),
+                    ((0, 0), (0, self.hp - h), (0, self.wp - w),
+                     (0, self.n_ch - cin)))
+        grid = self._splat(x)
+        grid = self._blur(grid)
+        out = self._slice(grid)
+        return out[:, :h, :w, :cin].astype(in_dtype)

@@ -186,11 +186,25 @@ def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, oht_ref,
             jnp.int32, oht_ref.shape, 0) == hit).astype(jnp.bfloat16)
 
     lot = lot_ref[0, 0, 0]                     # [1, P]
-    for dl in range(lb):
-        ohtm = oht_ref[...] * (lot == l0 + dl).astype(jnp.bfloat16)
-        out_ref[0, 0, 0, dl] = jnp.dot(
-            ohtm, wv_ref[...], preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)
+    if lb % 4 == 0:
+        # stack 4 lo-masked one-hots along M per dot: a per-lo dot is
+        # [HIP, P] x [P, 4C] whose fixed MXU pipeline cost dominates at
+        # these sizes; 4x fewer, 4x taller dots amortize it
+        for d4 in range(lb // 4):
+            ohtm4 = jnp.concatenate(
+                [oht_ref[...]
+                 * (lot == l0 + 4 * d4 + q).astype(jnp.bfloat16)
+                 for q in range(4)], axis=0)   # [4*HIP, P]
+            res = jnp.dot(ohtm4, wv_ref[...],
+                          preferred_element_type=jnp.float32)
+            out_ref[0, 0, 0, 4 * d4:4 * d4 + 4] = res.reshape(
+                4, hip, res.shape[-1]).astype(jnp.bfloat16)
+    else:
+        for dl in range(lb):
+            ohtm = oht_ref[...] * (lot == l0 + dl).astype(jnp.bfloat16)
+            out_ref[0, 0, 0, dl] = jnp.dot(
+                ohtm, wv_ref[...], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
 
 
 def _combine_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref, *,

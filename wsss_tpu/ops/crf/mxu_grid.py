@@ -108,7 +108,9 @@ def applicable(sxy: float, srgb: float, n_ch: int = 32,
     p = _round_up(t * t, 16)
     return (gc * gc <= 4096                 # one-hot matmul K dim
             and gc * 4 * n_ch <= 4096       # t2 / rsum lane width
-            and hip * p * 2 <= 8 * 1024 * 1024   # cached one-hot scratch
+            # cached one-hot scratch + the 4-stacked masked copy the
+            # splat dot consumes (5x [HIP, P] bf16 live)
+            and hip * p * 2 * 5 <= 12 * 1024 * 1024
             # one-hot matmuls cost gc^3*4C MACs/pixel: beyond ~gc=28 the
             # MXU burns more than it saves (fine-color configs route to
             # the native permutohedral instead, meanfield.py)

@@ -10,11 +10,14 @@ Kernels:
   * spatial Gaussian  exp(-|dp|^2 / 2 sxy^2)  — computed *exactly* by a
     truncated separable convolution (the reference's lattice only
     approximates it).
-  * bilateral  exp(-|dp|^2/2 sxy^2 - |dI|^2/2 srgb^2) — approximated by a
-    5-D bilateral grid (splat -> separable Gaussian blur -> slice), the
-    TPU-friendly equivalent of the permutohedral lattice (SURVEY.md §7
-    plan B).  Splat/slice use multilinear weights over the 32 hypercube
-    corners, looped so peak memory stays O(N) per corner.
+  * bilateral  exp(-|dp|^2/2 sxy^2 - |dI|^2/2 srgb^2) — approximated by
+    a 5-D bilateral grid, the TPU-friendly equivalent of the
+    permutohedral lattice (SURVEY.md §7 plan B).  Production inference
+    configs dispatch to the MXU-native Pallas grid (ops/crf/mxu_grid.py,
+    one-hot-matmul splat/slice); this module keeps the scatter-based
+    structures (dense / direct-window / 32-corner grid) as exact
+    references and fallbacks, and routes fine-color grid-intractable
+    configs to the native C++ permutohedral.
 
 Both kernels use symmetric normalization (pydensecrf default
 NORMALIZE_SYMMETRIC): message = n * (K @ (n*Q)), n = 1/sqrt(K @ 1), with

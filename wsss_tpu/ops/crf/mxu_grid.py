@@ -15,9 +15,10 @@ scatter/slice phases are access-count bound on TPU (~13/9 ms per filter at
     cuts the matmul to one ``[P, gc^2] @ [gc^2, gc*4C]`` per tile and the
     VPU one-hot generation by ~gc^2/(gc^2+gc).
   * Splat  ``G[s, c] += w_sp(p) * 1[c=cn(p)] * v_p`` becomes
-    ``one_hot(hi)^T @ (lo_mask ⊙ tile(w ⊙ v))`` with the four
-    spatial-bilinear corner weights packed into the matmul N dim; one
-    [gc^2, gc*4C] partial per tile, combined by static shifted pads.
+    lo-masked one-hot matmuls (4 lo planes stacked along M per dot)
+    with the four spatial-bilinear corner weights packed into the
+    matmul N dim; the per-tile [gc, gc^2, 4C] partials are folded into
+    the [Gy, Gx] grid by a clamped-index-map combine kernel.
   * Slice  becomes ``one_hot(hi) @ concat(4 slabs)`` followed by a
     lo-mask and a constant group-sum matmul.  One-hots are generated on
     the fly in VMEM (iota compare), never materialized in HBM.
@@ -25,10 +26,15 @@ scatter/slice phases are access-count bound on TPU (~13/9 ms per filter at
     whole [gc, gc, gc*C] cube lives in VMEM); the tiny spatial axes
     collapse to ONE exact 2-D blur matmul over the Gy*Gx dim.
 
-Kernel semantics: spatial-bilinear splat + slice, color-nearest both ways.
+Kernel semantics: spatial-bilinear splat + slice, color-nearest both
+ways, with spatial cells of sxy/k (k chosen so tiles fit VMEM — finer
+sampling, recalibrated blur) and color cells of cell_mult*srgb.
 Interpolation variances (1/6 + 1/6 spatial, 1/12 + 1/12 color per axis)
 are folded into the in-grid blur sigma exactly like
-meanfield._GRID_BLUR_SIGMA calibrates the other modes.
+meanfield._GRID_BLUR_SIGMA calibrates the other modes.  The bottom of
+the file adds :class:`AlignedBilateralGrid`, a nearest/half-cell
+variant kept as a measured negative result (fewer MACs, slower — see
+PLAN.md).
 
 Everything here is shape-static and jit-composable: batched mean-field
 (including the Pallas calls) compiles into ONE program, unlike the

@@ -337,6 +337,64 @@ def _color_blur_kernel(g_ref, out_ref, *, taps, n_ch, gc):
     out_ref[0, 0, 0] = x.astype(out_ref.dtype)
 
 
+def _combine_blur_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref,
+                         cube_ref, *, n_ch, gc, gc2, nty, ntx, taps):
+    """Fused quadrant combine + color-axis blur for one grid cell.
+
+    Needs the cell's FULL color cube resident (all lo planes), so it
+    runs only when 4 whole [gc, HIP, 4C] partials fit VMEM (common at
+    the coarse production gc; the chunked combine + separate blur kernel
+    remain the fallback).  Saves a kernel launch and a full-grid HBM
+    round trip per filter.
+
+    p??: [1,1,1,gc,HIP,4C] bf16 partials via clamped index maps;
+    out: [1,1,1,gc,gc^2,C] bf16; cube: [gc, gc^2, C] f32 scratch.
+    """
+    c = n_ch
+    sy = pl.program_id(1)
+    sx = pl.program_id(2)
+    for l in range(gc):
+        acc = jnp.zeros((gc2, c), jnp.float32)
+        for q, (dy, dx), ref in (
+                (3, (0, 0), p11_ref),
+                (2, (0, 1), p10_ref),
+                (1, (1, 0), p01_ref),
+                (0, (1, 1), p00_ref)):
+            quad = ref[0, 0, 0, l, :gc2,
+                       q * c:(q + 1) * c].astype(jnp.float32)
+            ty, tx = sy - 1 + dy, sx - 1 + dx
+            valid = ((ty >= 0) & (ty <= nty - 1) & (tx >= 0)
+                     & (tx <= ntx - 1))
+            acc = acc + jnp.where(valid, quad, 0.0)
+        cube_ref[l] = acc
+
+    # color blur directly on the [gc(cr), gc^2(cg*gc+cb), C] layout —
+    # reshaping to a 3-D cube inside the kernel is an unsupported Mosaic
+    # shape cast.  cr: axis-0 shifts; cg: axis-1 shifts in steps of gc
+    # (rows keep their cb); cb: unit axis-1 shifts masked at the cg
+    # boundaries.
+    x = cube_ref[...]                           # [gc, gc^2, C]
+    r = _BLUR_RADIUS
+    cbv = jax.lax.broadcasted_iota(jnp.int32, (gc2, 1), 0) % gc
+
+    def cb_mask(d):
+        v = cbv + d
+        return ((v >= 0) & (v < gc)).astype(jnp.float32)
+
+    for axis, stride, masked in ((0, 1, False), (1, gc, False),
+                                 (1, 1, True)):
+        acc = taps[r] * x
+        for d in range(1, r + 1):
+            up = _shift_fill(x, d * stride, axis)
+            dn = _shift_fill(x, -d * stride, axis)
+            if masked:
+                up = up * cb_mask(d)
+                dn = dn * cb_mask(-d)
+            acc = acc + taps[r + d] * (up + dn)
+        x = acc
+    out_ref[0, 0, 0] = x.astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Host-side structure
 # ---------------------------------------------------------------------------
@@ -468,6 +526,12 @@ class MXUBilateralGrid:
             self.blur_b = jnp.asarray(
                 band(gc, sig_col, _BLUR_RADIUS).astype(np.float32),
                 jnp.bfloat16)
+        # fuse the color blur into the combine kernel when four whole
+        # [gc, HIP, 4C] partials (double-buffered) fit VMEM: one fewer
+        # kernel launch and grid round trip per filter
+        self.fuse_combine_blur = (
+            not self.color_blur_einsum
+            and gc * self.hip * 4 * c * 2 * 8 <= 8 * 1024 * 1024)
 
     # -- layout helpers ----------------------------------------------------
     def _tile(self, x: Array) -> Array:
@@ -526,6 +590,32 @@ class MXUBilateralGrid:
         # corner (by,bx) -> cell (i+by, j+bx)) with a second tiny kernel
         gy, gx = self.nty + 1, self.ntx + 1
         nty, ntx = self.nty, self.ntx
+        if self.fuse_combine_blur:
+            fkern = functools.partial(
+                _combine_blur_kernel, n_ch=c, gc=gc, gc2=gc * gc,
+                nty=nty, ntx=ntx, taps=self.taps_col)
+
+            def fpart_spec(dy, dx):
+                def imap(bb, sy, sx, dy=dy, dx=dx):
+                    return (bb, jnp.clip(sy - 1 + dy, 0, nty - 1),
+                            jnp.clip(sx - 1 + dx, 0, ntx - 1), 0, 0, 0)
+                return pl.BlockSpec((1, 1, 1, gc, self.hip, 4 * c), imap)
+
+            grid = pl.pallas_call(
+                fkern,
+                grid=(b, gy, gx),
+                in_specs=[fpart_spec(1, 1), fpart_spec(1, 0),
+                          fpart_spec(0, 1), fpart_spec(0, 0)],
+                out_specs=pl.BlockSpec(
+                    (1, 1, 1, gc, gc * gc, c),
+                    lambda bb, sy, sx: (bb, sy, sx, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct(
+                    (b, gy, gx, gc, gc * gc, c), jnp.bfloat16),
+                scratch_shapes=[
+                    pltpu.VMEM((gc, gc * gc, c), jnp.float32)],
+                interpret=self.interpret,
+            )(part, part, part, part)
+            return grid.reshape(b, gy, gx, self.m * c)
         ckern = functools.partial(_combine_kernel, n_ch=c, gc2=gc * gc,
                                   nty=nty, ntx=ntx)
 
@@ -573,6 +663,9 @@ class MXUBilateralGrid:
             grid = grid.reshape(b, gy * gx, gc * gc, gc, c)
             grid = jnp.einsum('uv,bshvc->bshuc', self.blur_b, grid,
                               preferred_element_type=jnp.bfloat16)
+            return grid.reshape(b, gy, gx, mc)
+        if self.fuse_combine_blur:
+            # color axes already blurred inside the combine kernel
             return grid.reshape(b, gy, gx, mc)
         grid = grid.reshape(b, gy, gx, gc, gc, gc * c)
         # color axes: per-cell Pallas kernel, whole cube in VMEM

@@ -44,3 +44,29 @@ def test_hsn_adp_pipeline():
     assert np.asarray(lab_m).shape == (2, 48, 48)
     assert np.asarray(lab_m).max() < 29
     assert np.asarray(lab_f).max() < 5
+
+
+def test_segment_batch_mesh_parity():
+    """mesh-sharded whole-split segmentation matches the single-device
+    path (make_cam.py:120-122 per-GPU split as one program)."""
+    import jax
+    from jax.sharding import Mesh
+    from wsss_tpu.data import registry
+    from wsss_tpu.methods import gradcam_cues as gc
+    from wsss_tpu.methods.hsn import HSNSegmenter
+
+    spec = registry.get('VOC2012')
+    size = 41   # tiny: dense CRF path
+    fg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size)
+    bg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size,
+                                     seed=1)
+    seg = HSNSegmenter(spec, fg, bg, model_type='VGG16')
+    rng = np.random.default_rng(0)
+    imgs = rng.uniform(0, 255, (3, size, size, 3)).astype(np.float32)
+
+    want = np.asarray(seg.segment_batch(imgs))
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ('data',))
+    got = np.asarray(seg.segment_batch(imgs, mesh=mesh))
+    assert got.shape == want.shape
+    agree = (got == want).mean()
+    assert agree > 0.99, agree

@@ -72,12 +72,22 @@ class HSNSegmenter:
         self._probs_fn = probs_fn
         self._cfg = cfg
 
-    def segment_batch(self, imgs_raw) -> jax.Array:
+    def segment_batch(self, imgs_raw, mesh=None) -> jax.Array:
         """imgs_raw: [B,S,S,3] float RGB 0..255 -> labels [B,S,S] int32.
 
         The CAM stage is one jitted call; the CRF is dispatched per image
         at the host level (see the lax.map performance note in
-        ops/crf/meanfield.py)."""
+        ops/crf/meanfield.py).  mesh: optional jax.sharding.Mesh — the
+        batch shards over its 'data' axis (the reference's
+        one-process-per-GPU inference split, make_cam.py:120-122, as one
+        program; same contract as gradcam_cues.run(mesh=))."""
+        if mesh is not None:
+            from wsss_tpu.parallel.mesh import shard_batch
+            (imgs,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
+                                                       np.float32))
+            probs = self._probs_fn(imgs)
+            q = mean_field(probs, imgs, self._cfg)
+            return jnp.argmax(q, axis=-1).astype(jnp.int32)[:b0]
         imgs = jnp.asarray(imgs_raw, jnp.float32)
         probs = self._probs_fn(imgs)
         q = mean_field(probs, imgs, self._cfg)

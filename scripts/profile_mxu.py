@@ -44,8 +44,10 @@ def main():
           f'hip={g.hip}')
 
     filt = jax.jit(lambda xx: g.filter(xx))
-    splat = jax.jit(lambda xx: g._splat(g._tile(jnp.pad(
-        xx, ((0, 0), (0, g.hp - H), (0, g.wp - W), (0, 0))))))
+    # _splat takes the zero-padded IMAGE-layout array [B,Hp,Wp,C] —
+    # tiles are fetched per-block inside the kernel (no host _tile).
+    splat = jax.jit(lambda xx: g._splat(jnp.pad(
+        xx, ((0, 0), (0, g.hp - H), (0, g.wp - W), (0, 0)))))
     part0 = splat(x)
     blur = jax.jit(g._blur)
     grid0 = blur(part0)

@@ -1,0 +1,51 @@
+"""--mesh auto CLI wiring: the multi-chip kernels must be reachable from
+the command line (VERDICT round-2 item 7), exercised on the virtual
+8-device CPU mesh the conftest configures."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason='needs the virtual CPU mesh')
+
+
+def test_gen_cues_cli_mesh(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from wsss_tpu.cli import gen_cues
+    gen_cues.main(['--dataset', 'VOC2012', '--task', 'gen',
+                   '--mesh', 'auto', '--synthetic_n', '6',
+                   '--batchsize', '3', '--img_size', '32'])
+    assert os.path.exists(
+        'cues/VOC2012_VGG16/localization_cues.pickle')
+
+
+def test_gen_cues_cli_mesh_matches_single(tmp_path, monkeypatch):
+    """Sharded CLI run must produce identical cues to --mesh none."""
+    from wsss_tpu.io import artifacts
+    from wsss_tpu.cli import gen_cues
+    monkeypatch.chdir(tmp_path)
+    args = ['--dataset', 'VOC2012', '--task', 'gen', '--synthetic_n',
+            '5', '--batchsize', '4', '--img_size', '32']
+    gen_cues.main(args + ['--mesh', 'none', '--cues_root', 'a'])
+    gen_cues.main(args + ['--mesh', 'auto', '--cues_root', 'b'])
+    ca = artifacts.read_cue_pickle('a/VOC2012_VGG16/'
+                                   'localization_cues.pickle')
+    cb = artifacts.read_cue_pickle('b/VOC2012_VGG16/'
+                                   'localization_cues.pickle')
+    assert set(ca) == set(cb)
+    for k in ca:
+        np.testing.assert_array_equal(ca[k], cb[k])
+
+
+def test_irn_make_cam_cli_mesh(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from wsss_tpu.cli import irn
+    irn.main(['--dataset', 'VOC2012', '--passes', 'make_cam',
+              '--mesh', '2', '--synthetic_n', '4', '--batchsize', '2',
+              '--img_size', '32', '--scales', '1.0'])
+    out = os.listdir('irn_work/IRN_VOC2012_VGG16/cam')
+    assert len(out) == 4

@@ -189,8 +189,15 @@ def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
     # exact-srgb sampling isolates the dispatch plumbing; the coarse
     # default's fidelity is pinned separately below
     monkeypatch.setattr(meanfield, 'MXU_CELL_MULT', 1.0)
+    # spy: the MXU branch must actually be taken (a dispatch regression
+    # would silently compare the scatter path against itself)
+    calls = []
+    real = meanfield._mean_field_mxu
+    monkeypatch.setattr(meanfield, '_mean_field_mxu',
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
     got = np.asarray(meanfield.mean_field(
         jnp.asarray(probs), jnp.asarray(img), cfg))     # mxu interpret
+    assert calls, 'MXU dispatch branch was not taken'
 
     corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert corr > 0.95, corr

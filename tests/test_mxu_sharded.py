@@ -16,8 +16,13 @@ def _mesh_1d(n, name='data'):
     return Mesh(devs, (name,))
 
 
-def test_sharded_mxu_mean_field_matches_single_device():
-    h, w, c = 48, 24, 3                 # 2 shards x 24 rows (halo 18)
+@pytest.mark.parametrize('h', [48, 45])
+def test_sharded_mxu_mean_field_matches_single_device(h):
+    # h=48: 2 shards x 24 rows (halo 18); h=45: NON-divisible height —
+    # 3 zero-padded rows must not leak messages into valid rows
+    # (round-2 advisor finding: inputs are v_e-masked, not just the
+    # normalizers).
+    w, c = 24, 3
     cfg = crf_config.CRFConfig(1.0, 3, 3.0, 24, 10, iterations=1)
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)

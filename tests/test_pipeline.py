@@ -72,3 +72,24 @@ def test_synthetic_determinism_and_tags():
         present = set(np.unique(ba.gt[i])) - {0}
         tagged = set(np.where(ba.tags[i] > 0.5)[0] + 1)
         assert present == tagged
+
+
+def test_packaged_reference_splits_ship():
+    """The reference's evaluation protocol ships as data (03b_irn/
+    voc12/*.txt etc.); counts pin the published splits."""
+    from wsss_tpu.data.pipeline import packaged_split_path
+
+    def count(ds, split):
+        path = packaged_split_path(ds, split)
+        assert path is not None, (ds, split)
+        with open(path) as f:
+            return sum(1 for ln in f if ln.strip())
+
+    assert count('VOC2012', 'val') == 1449
+    assert count('VOC2012', 'train_aug') == 10582
+    assert count('ADP-morph', 'tuning') == 50
+    assert count('ADP-func', 'evaluation') == 50
+    assert count('DeepGlobe', 'test') == 200
+    assert count('DeepGlobe', 'train75') == 603
+    assert count('DeepGlobe_balanced', 'train37.5') == 302
+    assert packaged_split_path('VOC2012', 'nope') is None

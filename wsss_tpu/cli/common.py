@@ -48,8 +48,24 @@ def add_common_args(p: argparse.ArgumentParser):
                    help='synthetic dataset size when no devkit exists')
     p.add_argument('--img_size', type=int, default=0,
                    help='override input size (0 = per-model default)')
+    p.add_argument('--mesh', default='none',
+                   help="device mesh for multi-chip runs: 'none' "
+                        "(single device), 'auto' (all visible chips), "
+                        "or an integer device count.  Replaces the "
+                        "reference's per-GPU process spawn "
+                        "(make_cam.py:120-122, SURVEY.md §2.8) with one "
+                        "jax.sharding.Mesh program.")
     p.add_argument('--verbose', action='store_true')
     return p
+
+
+def get_mesh(args):
+    """Resolve --mesh into a jax.sharding.Mesh (or None)."""
+    v = getattr(args, 'mesh', 'none')
+    if not v or v == 'none':
+        return None
+    from wsss_tpu.parallel.mesh import make_mesh
+    return make_mesh(None if v == 'auto' else int(v))
 
 
 def input_size(args) -> int:

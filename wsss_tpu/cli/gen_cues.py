@@ -25,8 +25,9 @@ def main(argv=None):
     p.add_argument('--thresh', type=float, default=0.2)
     p.add_argument('--split', default='train')
     p.add_argument('--set_name', default=None,
-                   choices=[None, 'tuning', 'segtest'],
-                   help='ADP evaluation set (02_cues/demo.py:41)')
+                   choices=[None, 'tuning', 'segtest', 'evaluation'],
+                   help="ADP evaluation set (02_cues/demo.py:41; "
+                        "'evaluation' is 03b's name for segtest)")
     p.add_argument('--cues_root', default='cues')
     args = p.parse_args(argv)
 
@@ -41,23 +42,28 @@ def main(argv=None):
             args, 51 if args.model == 'X1.7' else 31, size)
         gen = gc.ADPCueGenerator(handle, args.model, thresh=args.thresh)
         ds, batches = common.get_batches(args, args.split, size)
-        out_m, out_f = gen.run(batches, verbose=args.verbose)
+        out_m, out_f = gen.run(batches, verbose=args.verbose,
+                               mesh=common.get_mesh(args))
         for htt, out in (('morph', out_m), ('func', out_f)):
             path = os.path.join(cues_dir, htt, 'localization_cues.pickle')
             artifacts.write_cue_pickle(path, out)
             print(f'wrote {len(out) // 2} images -> {path}')
+        result = {}
         if args.task == 'eval':
             for htt, out in (('morph', out_m), ('func', out_f)):
                 spec = registry.get(f'ADP-{htt}')
                 ds2, batches2 = common.get_batches(
                     args, args.split, size, with_gt=True, htt=htt)
                 iou, miou = gc.eval_cues_miou(out, batches2,
-                                              spec.n_seg_classes)
+                                              spec.n_seg_classes,
+                                              dataset=f'ADP-{htt}',
+                                              size=size)
                 path = os.path.join(args.eval_root, sid, htt,
                                     'cues_iou.csv')
                 reports.write_iou_csv(path, spec.seg_class_names, iou)
                 print(f'[eval_cues, ADP-{htt}] miou: {miou:.5f}')
-        return
+                result[f'cue_miou_{htt}'] = miou
+        return result
 
     spec = registry.get(args.dataset)
     fg = common.load_handle(args, spec.n_fg_classes, size, seed=0)
@@ -67,8 +73,12 @@ def main(argv=None):
                                 suffix='bg')
     gen = gc.VOCDeepGlobeCueGenerator(spec, fg, bg, thresh=args.thresh)
     ds, batches = common.get_batches(args, args.split, size)
-    out = gen.run(batches, verbose=args.verbose)
-    name = ('localization_cues.pickle' if args.split == 'train'
+    out = gen.run(batches, verbose=args.verbose,
+                  mesh=common.get_mesh(args))
+    # train-style splits (train / train_aug / train75 / train37.5) get
+    # the training-cue name consumed by 03a (02_cues/demo.py:217-222);
+    # eval splits get the _val name (demo.py:320-321)
+    name = ('localization_cues.pickle' if args.split.startswith('train')
             else 'localization_cues_val.pickle')
     path = os.path.join(cues_dir, name)
     artifacts.write_cue_pickle(path, out)
@@ -77,10 +87,16 @@ def main(argv=None):
     if args.task == 'eval':
         ds2, batches2 = common.get_batches(args, args.split, size,
                                            with_gt=True)
-        iou, miou = gc.eval_cues_miou(out, batches2, spec.n_seg_classes)
+        iou, miou = gc.eval_cues_miou(out, batches2, spec.n_seg_classes,
+                                      dataset=args.dataset)
+        # DeepGlobe drops the trailing 'unknown' class (demo.py:413-415)
+        names = (spec.seg_class_names[:-1]
+                 if args.dataset.startswith('DeepGlobe')
+                 else spec.seg_class_names)
         path = os.path.join(args.eval_root, sid, 'cues_iou.csv')
-        reports.write_iou_csv(path, spec.seg_class_names, iou)
+        reports.write_iou_csv(path, names, iou)
         print(f'[eval_cues, {args.dataset}] miou: {miou:.5f}')
+        return {'cue_miou': miou}
 
 
 if __name__ == '__main__':

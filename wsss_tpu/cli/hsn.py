@@ -24,7 +24,7 @@ def main(argv=None):
     common.add_common_args(p)
     p.add_argument('--split', default='val')
     p.add_argument('--set_name', default=None,
-                   choices=[None, 'tuning', 'segtest'])
+                   choices=[None, 'tuning', 'segtest', 'evaluation'])
     p.add_argument('--saveimg', action='store_true')
     p.add_argument('--overlay_r', type=float, default=0.75)
     p.add_argument('--morph_pcc', default=None,
@@ -37,6 +37,7 @@ def main(argv=None):
     size = common.input_size(args)
     sid = 'HSN_' + common.sess_id(args, args.set_name)
     out_dir = os.path.join(args.out_root, sid)
+    mesh = common.get_mesh(args)
 
     if args.dataset.startswith('ADP'):
         handle = common.load_handle(
@@ -48,13 +49,14 @@ def main(argv=None):
         seg = hsn.ADPHSNSegmenter(handle, args.model, cfg_morph=cfg_m,
                                   cfg_func=cfg_f)
         split = args.set_name or 'segtest'
+        result = {}
         for htt in ('morph', 'func'):
             spec = registry.get(f'ADP-{htt}')
             ds, batches = common.get_batches(args, split, size,
                                              with_gt=True, htt=htt)
             conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
             for b in batches:
-                lm, lf = seg.segment_batch(b.images)
+                lm, lf = seg.segment_batch(b.images, mesh=mesh)
                 pred = np.asarray(lm if htt == 'morph' else lf)
                 if b.gt is not None:
                     import jax
@@ -76,7 +78,8 @@ def main(argv=None):
                 os.path.join(args.eval_root, sid, htt, 'hsn_iou.csv'),
                 spec.seg_class_names, np.asarray(iou))
             print(f'[hsn, ADP-{htt}] miou: {float(miou):.5f}')
-        return
+            result[f'miou_{htt}'] = float(miou)
+        return result
 
     spec = registry.get(args.dataset)
     fg = common.load_handle(args, spec.n_fg_classes, size, seed=0)
@@ -88,7 +91,7 @@ def main(argv=None):
     ds, batches = common.get_batches(args, args.split, size, with_gt=True)
     conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
     for b in batches:
-        pred = np.asarray(seg.segment_batch(b.images))
+        pred = np.asarray(seg.segment_batch(b.images, mesh=mesh))
         if b.gt is not None:
             conf = metrics.accumulate_confusion(
                 conf, jnp.asarray(pred), jnp.asarray(b.gt),
@@ -107,6 +110,7 @@ def main(argv=None):
         os.path.join(args.eval_root, sid, 'hsn_iou.csv'),
         spec.seg_class_names, np.asarray(iou))
     print(f'[hsn, {args.dataset}] miou: {float(miou):.5f}')
+    return {'miou': float(miou)}
 
 
 if __name__ == '__main__':

@@ -62,11 +62,12 @@ def run_make_cam(args, dirs) -> None:
     ci = irnet.CAMInference(handle, spec, args.model, scales=scales,
                             adp_htt=htt)
     ds, _ = common.get_batches(args, args.train_split, size)
+    mesh = common.get_mesh(args)
     n = 0
     # native-size batched MSF: the reference keeps original geometry per
     # image (make_cam.py:41-42); batching groups identical shapes
     for names, imgs, tags in _native_shape_groups(ds, args.batchsize):
-        dicts = ci.make_cam_batch(imgs, tags)
+        dicts = ci.make_cam_batch(imgs, tags, mesh=mesh)
         for name, d in zip(names, dicts):
             artifacts.write_cam_npy(
                 os.path.join(dirs['cam'], name + '.npy'),
@@ -84,30 +85,38 @@ def run_eval_cam(args, dirs, split=None) -> float:
     conf = np.zeros((n_cls, n_cls), np.int64)
     from wsss_tpu.data.pipeline import prefetch
     # native-size eval: GT masks keep original geometry (eval_cam.py:75)
+    # exact eval_cam.py:48-62 branches: VOC pads a threshold channel and
+    # shifts keys by the bg class; ADP argmaxes the raw high_res channels
+    # (keys already include the bg classes, make_cam.py:54-61); DeepGlobe
+    # argmaxes the STRIDED 'cam' array with raw keys and no padding.
+    is_dg = args.dataset.startswith('DeepGlobe')
     for b in prefetch(ds.iter_native(with_gt=True)):
         name = b.names[0]
         path = os.path.join(dirs['cam'], name + '.npy')
         if not os.path.exists(path) or b.gt is None:
             continue
         d = artifacts.read_cam_npy(path)
-        if d['keys'].size == 0:
+        pred = irnet.eval_cam_pred(d, args.dataset, args.cam_eval_thres)
+        if pred is None:
             continue
-        hr = d.get('high_res', d['cam'])
-        pad = np.pad(hr, ((1, 0), (0, 0), (0, 0)),
-                     constant_values=args.cam_eval_thres)
-        keys = (np.pad(d['keys'] + 1, (1, 0)) if not htt and
-                spec.has_bg_class else
-                np.concatenate([[0], d['keys']]) if htt else
-                np.concatenate([[0], d['keys'] + 0]))
-        pred = keys[np.argmax(pad, 0)]
         up = np.asarray(jax.image.resize(
             jnp.asarray(pred, jnp.float32)[..., None],
             b.gt.shape[1:] + (1,), 'nearest'))[..., 0].astype(np.int32)
+        if getattr(args, 'saveimg', False):
+            reports.save_color_and_overlay(
+                dirs['eval'], name + '_cam', up, spec.palette_array(),
+                b.images[0], r=0.25 if is_dg else 0.75)
         conf = metrics.accumulate_confusion(
             conf, jnp.asarray(up), jnp.asarray(b.gt[0]), n_cls)
     iou, miou = metrics.iou_from_confusion(conf)
+    prec, rec = metrics.precision_recall_from_confusion(conf)
+    # DeepGlobe drops the trailing class name row (eval_cam.py:106-109)
+    names = (spec.seg_class_names[:-1] if is_dg else spec.seg_class_names)
+    k = len(names)
     reports.write_iou_csv(os.path.join(dirs['eval'], 'cam_iou.csv'),
-                          spec.seg_class_names, np.asarray(iou))
+                          names, np.asarray(iou)[:k],
+                          precision=np.asarray(prec)[:k],
+                          recall=np.asarray(rec)[:k])
     print(f'[eval_cam, {split or args.train_split}] miou: '
           f'{float(miou):.5f}')
     return float(miou)
@@ -133,6 +142,12 @@ def run_cam_to_ir_label(args, dirs) -> None:
             conf_bg_thres=args.conf_bg_thres)
         reports.save_png(
             os.path.join(dirs['ir_label'], name + '.png'), conf)
+        if getattr(args, 'saveimg', False):
+            # colorized (255 -> white) + overlay (cam_to_ir_label.py:79-93)
+            reports.save_color_and_overlay(
+                dirs['ir_label'] + '_clr', name, conf,
+                spec.palette_array(), b.images[0],
+                ignore_color=(255, 255, 255))
         n += 1
     print(f'[cam_to_ir_label] wrote {n} label maps -> {dirs["ir_label"]}')
 
@@ -217,15 +232,15 @@ def run_train_irn(args, dirs) -> None:
                 variables, opt_state, imgs, bg, fg, ng)
             if args.verbose:
                 print('  irn loss %.4f' % float(parts['total']))
-    # displacement mean calibration (train_irn.py:152-165)
-    infer_imgs = []
-    for b in ds.batches(args.batchsize):
-        if b.images.shape[0] == args.batchsize:
-            infer_imgs.append(np.asarray(norm(b.images[:, :crop, :crop])))
-        if len(infer_imgs) >= 2:
-            break
-    disp_mean = tr.calibrate_disp_mean(variables, infer_imgs) \
-        if infer_imgs else np.zeros(2)
+    # displacement mean calibration over the ENTIRE infer split
+    # (train_irn.py:152-165; drop_last=True DataLoader contract).
+    # calibrate_disp_mean streams batches, so memory stays O(batch).
+    def infer_batches():
+        for b in ds.batches(args.batchsize):
+            if b.images.shape[0] == args.batchsize:
+                yield np.asarray(norm(b.images[:, :crop, :crop]))
+    disp_mean = (tr.calibrate_disp_mean(variables, infer_batches())
+                 if n_imgs >= args.batchsize else np.zeros(2))
     prof.__exit__(None, None, None)
     checkpoint.save_checkpoint(
         dirs['irn_ckpt'], 0,
@@ -248,6 +263,7 @@ def run_make_sem_seg(args, dirs) -> None:
     disp_mean = np.asarray(state['disp_mean'])
     norm = _normalizer(spec.norm_irn)
     ds, _ = common.get_batches(args, args.infer_split, size)
+    mesh = common.get_mesh(args)
     from wsss_tpu.data import augment
     from wsss_tpu.data.pipeline import prefetch
     fwd = jax.jit(lambda v, x: tr.net.apply(v, x))
@@ -268,9 +284,15 @@ def run_make_sem_seg(args, dirs) -> None:
             edge, d, args.dataset, b.images[0].shape[:2],
             beta=args.beta, exp_times=args.exp_times,
             sem_seg_bg_thres=args.sem_seg_bg_thres,
-            walk_downsample=args.walk_downsample)
+            walk_downsample=args.walk_downsample, mesh=mesh)
         reports.save_png(os.path.join(dirs['sem_seg'], name + '.png'),
                          pred)
+        if getattr(args, 'saveimg', False):
+            # colorized + overlay (make_sem_seg_labels.py:121-140)
+            reports.save_color_and_overlay(
+                dirs['sem_seg'] + '_clr', name, pred,
+                spec.palette_array(), b.images[0],
+                r=0.25 if args.dataset.startswith('DeepGlobe') else 0.75)
         n += 1
     print(f'[make_sem_seg] wrote {n} -> {dirs["sem_seg"]}')
 
@@ -354,6 +376,10 @@ def main(argv=None):
                         'sharding the walk over a mesh')
     p.add_argument('--tune', action='store_true',
                    help='demo_tune.py grid: conf_fg_thres then exp_times')
+    p.add_argument('--saveimg', action='store_true',
+                   help='write colorized + overlay debug PNGs at each '
+                        'pass (eval_cam.py:66-85, cam_to_ir_label.py:'
+                        '79-93, make_sem_seg_labels.py:121-140)')
     args = p.parse_args(argv)
 
     # tuned hyperparameter defaults (demo_sem_seg.py:8-18)
@@ -372,43 +398,62 @@ def main(argv=None):
         os.makedirs(d, exist_ok=True)
 
     if args.tune:
-        # demo_tune.py:45-95: sweep conf_fg_thres at exp_times=1, then
-        # sweep exp_times at the best threshold
+        # demo_tune.py:45-95: sweep conf_fg_thres at the dataset's initial
+        # exp_times (CFG init_exp_times, demo_tune.py:14-23), then sweep
+        # exp_times over EXP_RNG EXCLUDING the initial value (quirk kept:
+        # demo_tune.py:79 filters it out, so init_exp can't be re-chosen).
+        # Every trial is logged as a TSV row (demo_tune.py:50,68,87-88).
+        os.makedirs('tuning_logs', exist_ok=True)
+        tsv = os.path.join('tuning_logs', run_name + '.tsv')
+        with open(tsv, 'a') as f:
+            f.write('dataset\tmodel\tconf_fg_thres\texp_times\t'
+                    'validation miou\n')
+
+        def log_trial(th, exp, miou):
+            with open(tsv, 'a') as f:
+                f.write(f'{args.dataset}\t{args.model}\t{th:.1f}\t{exp}\t'
+                        f'{miou:f}\n')
+
+        init_exp = args.exp_times
         run_make_cam(args, dirs)
         best_th, best_miou = None, -1.0
-        for th in (0.3, 0.5, 0.7):
+        for th in (0.3, 0.5, 0.7):      # THRES_RNG, demo_tune.py:24
             args.conf_fg_thres = th
             run_cam_to_ir_label(args, dirs)
             run_train_irn(args, dirs)
-            args.exp_times = 1
+            args.exp_times = init_exp
             run_make_sem_seg(args, dirs)
             miou = run_eval_sem_seg(args, dirs)
+            log_trial(th, init_exp, miou)
             if miou > best_miou:
                 best_th, best_miou = th, miou
         args.conf_fg_thres = best_th
         run_cam_to_ir_label(args, dirs)
         run_train_irn(args, dirs)
-        best_exp = 1
-        for exp in range(1, 9):
+        best_exp, best_exp_miou = init_exp, best_miou
+        for exp in [x for x in range(1, 9) if x != init_exp]:  # EXP_RNG
             args.exp_times = exp
             run_make_sem_seg(args, dirs)
             miou = run_eval_sem_seg(args, dirs)
-            if miou > best_miou:
-                best_exp, best_miou = exp, miou
-        # tuning TSV (demo_tune.py:41-43,50 contract)
-        os.makedirs('tuning_logs', exist_ok=True)
-        with open(os.path.join('tuning_logs', run_name + '.tsv'), 'a') as f:
-            f.write(f'{best_th}\t{best_exp}\t{best_miou:.5f}\n')
+            log_trial(best_th, exp, miou)
+            if miou > best_exp_miou:
+                best_exp, best_exp_miou = exp, miou
         print(f'[tune] best conf_fg_thres={best_th} '
-              f'exp_times={best_exp} miou={best_miou:.5f}')
+              f'exp_times={best_exp} miou={best_exp_miou:.5f}')
         return
 
     passes = PASSES if args.passes == 'all' else args.passes.split(',')
+    result = {}
     for ps in passes:
-        {'make_cam': run_make_cam, 'eval_cam': run_eval_cam,
-         'cam_to_ir_label': run_cam_to_ir_label,
-         'train_irn': run_train_irn, 'make_sem_seg': run_make_sem_seg,
-         'eval_sem_seg': run_eval_sem_seg}[ps](args, dirs)
+        r = {'make_cam': run_make_cam, 'eval_cam': run_eval_cam,
+             'cam_to_ir_label': run_cam_to_ir_label,
+             'train_irn': run_train_irn, 'make_sem_seg': run_make_sem_seg,
+             'eval_sem_seg': run_eval_sem_seg}[ps](args, dirs)
+        if ps == 'eval_cam':
+            result['cam_miou'] = r
+        elif ps == 'eval_sem_seg':
+            result['miou'] = r
+    return result
 
 
 if __name__ == '__main__':

@@ -202,32 +202,57 @@ def main(argv=None):
         return
 
     # --- predict: FCN forward -> upscale -> test-time CRF -> eval ------
+    # Reference semantics (03a model.py:684-696): for non-DeepGlobe the
+    # softmax score map AND the ORIGINAL image are first resized to GT
+    # resolution and the test CRF runs THERE (ADP: 1088^2, not 321^2);
+    # for DeepGlobe the CRF runs at network resolution and only the
+    # argmax is resized to GT.  (The reference feeds np.uint8 of the
+    # mean-subtracted input to the DeepGlobe CRF — an integer-wraparound
+    # quirk; we feed the un-normalized resized image instead.)
     cfg = (crf_config.SEC_TEST.get(args.dataset, crf_config.DSRG_TEST)
            if args.method == 'SEC' else crf_config.DSRG_TEST)
+    is_dg = 'DeepGlobe' in args.dataset
     ds, _ = common.get_batches(args, args.eval_split, size, with_gt=True)
     conf = np.zeros((n_cls, n_cls), np.int64)
     fwd = jax.jit(lambda p, x: trainer.predict_logits(p, x))
     out_dir = os.path.join(args.out_root, run_id)
-    for b in ds.batches(args.batchsize, with_gt=True):
-        logits = fwd(params, jnp.asarray(norm(b.images)))
+    from wsss_tpu.data.pipeline import prefetch
+    for b in prefetch(ds.iter_native(with_gt=True)):
+        name = b.names[0]
+        native = b.images[0]
+        net_in = np.asarray(jax.image.resize(
+            jnp.asarray(native), (size, size, 3), 'bilinear'))
+        logits = fwd(params, jnp.asarray(norm(net_in[None])))
         probs = jax.nn.softmax(
             resize_bilinear(logits, (size, size)), axis=-1)
-        q = mean_field(probs, jnp.asarray(b.images, jnp.float32), cfg)
-        pred = np.asarray(jnp.argmax(q, -1))
-        if b.gt is not None:
-            gt = b.gt
-            if gt.shape[1:] != pred.shape[1:]:
+        gt = b.gt[0] if b.gt is not None else None
+        out_hw = gt.shape if gt is not None else native.shape[:2]
+        if not is_dg:
+            # score map + image to GT resolution, CRF there
+            probs = jnp.clip(resize_bilinear(probs, out_hw), 1e-8, 1.0)
+            probs = probs / probs.sum(-1, keepdims=True)
+            guide = (native if native.shape[:2] == out_hw else
+                     np.asarray(jax.image.resize(
+                         jnp.asarray(native), out_hw + (3,), 'bilinear')))
+            q = mean_field(probs, jnp.asarray(guide, jnp.float32)[None],
+                           cfg)
+            pred = np.asarray(jnp.argmax(q, -1))[0]
+        else:
+            q = mean_field(probs, jnp.asarray(net_in, jnp.float32)[None],
+                           cfg)
+            pred = np.asarray(jnp.argmax(q, -1))[0]
+            if pred.shape != out_hw:
                 pred = np.asarray(jax.image.resize(
                     jnp.asarray(pred, jnp.float32)[..., None],
-                    (pred.shape[0],) + gt.shape[1:] + (1,),
-                    'nearest'))[..., 0].astype(np.int32)
+                    out_hw + (1,), 'nearest'))[..., 0].astype(np.int32)
+        if gt is not None:
             conf = metrics.accumulate_confusion(
                 conf, jnp.asarray(pred), jnp.asarray(gt), n_cls)
         if args.saveimg:
-            for i, name in enumerate(b.names):
-                color = reports.colorize(pred[i], spec.palette_array())
-                reports.save_png(
-                    os.path.join(out_dir, name + '.png'), color)
+            # colorized pred + overlay on the original (model.py:588-612)
+            reports.save_color_and_overlay(
+                out_dir, name, pred, spec.palette_array(),
+                native, r=0.75)
     iou, miou = metrics.iou_from_confusion(conf)
     path = os.path.join(args.eval_root, run_id,
                         f'{args.eval_split}_iou.csv')
@@ -236,6 +261,7 @@ def main(argv=None):
         os.path.join(args.eval_root, run_id, 'confusion.png'),
         np.asarray(conf), spec.seg_class_names)
     print(f'[{args.method}, {args.eval_split}] miou: {float(miou):.5f}')
+    return {'miou': float(miou)}
 
 
 if __name__ == '__main__':

@@ -56,13 +56,36 @@ def main(argv=None):
 
     spec = registry.get(args.dataset)
     size = common.input_size(args)
-    n_cls = spec.n_fg_classes
-    model = build_classifier(args.model, n_cls)
     ds, _ = common.get_batches(args, args.train_split, size)
+    n_cls = spec.n_fg_classes
+    fg_names = spec.fg_class_names
+    tag_map = None
+    if args.dataset.startswith('ADP'):
+        # The ADP classifier is the JOINT 31-way HistoNet (51 for X1.7)
+        # trained over all HTTs at once (01_train/demo.py:21 with the
+        # ADP taxonomy, 02_cues/adp_cues.py:43-50) — NOT the per-HTT
+        # fg set.  Devkit CSVs already carry full-width tags; narrower
+        # tag sources (synthetic) are scattered into the joint space.
+        full = (registry.ADP_CLASSES_X17 if args.model == 'X1.7'
+                else registry.ADP_CLASSES_VGG16)
+        n_cls, fg_names = len(full), full
+        if ds.split_tags().shape[1] != n_cls:
+            tag_map = np.array([full.index(c) if c in full else -1
+                                for c in spec.fg_class_names])
+
+    def expand_tags(t):
+        if tag_map is None:
+            return np.asarray(t, np.float32)
+        out = np.zeros((t.shape[0], n_cls), np.float32)
+        valid = tag_map >= 0
+        out[:, tag_map[valid]] = np.asarray(t)[:, valid]
+        return out
+
+    model = build_classifier(args.model, n_cls)
     # inverse-frequency class weighting (01_train/demo.py:80: n / pos_count)
     class_weights = None
     if not args.no_class_wgt:
-        tags_all = ds.split_tags()
+        tags_all = expand_tags(ds.split_tags())
         class_weights = len(ds) / (np.sum(tags_all, axis=0) + 1e-7)
     trainer = ClassifierTrainer(model, lr=args.lr, schedule=args.schedule,
                                 class_weights=class_weights)
@@ -107,7 +130,7 @@ def main(argv=None):
             imgs = jnp.asarray(norm(b.images))
             params, model_state, opt_state, m = step_fn(
                 params, model_state, opt_state, imgs,
-                jnp.asarray(b.tags), jax.random.PRNGKey(step))
+                jnp.asarray(expand_tags(b.tags)), jax.random.PRNGKey(step))
             step += 1
             if args.verbose:
                 print(f'epoch {epoch} step {step} '
@@ -125,16 +148,16 @@ def main(argv=None):
         sc = trainer.eval_scores(params, model_state,
                                  jnp.asarray(norm(b.images)))
         scores_all.append(np.asarray(sc))
-        tags_all.append(b.tags)
+        tags_all.append(expand_tags(b.tags))
     scores = np.concatenate(scores_all)
     tags = np.concatenate(tags_all)
     thresholds = np.asarray(metrics.optimal_thresholds(tags, scores))
     m = metrics.thresholded_metrics(tags, scores, thresholds)
     eval_dir = os.path.join(args.eval_root, sid)
     reports.write_metrics_csv(os.path.join(eval_dir, sid + '_metrics.csv'),
-                              spec.fg_class_names, m)
+                              fg_names, m)
     reports.plot_rocs(os.path.join(eval_dir, sid + '_ROC.png'),
-                      tags, scores, spec.fg_class_names)
+                      tags, scores, fg_names)
 
     out_dir = os.path.join(args.model_root, sid)
     checkpoint.export_triplet(
@@ -144,6 +167,7 @@ def main(argv=None):
         params=params, thresholds=thresholds)
     print(f'exported triplet to {out_dir}; '
           f'mean val F1 {np.nanmean(m["f1"]):.4f}')
+    return {'sid': sid, 'mean_f1': float(np.nanmean(m['f1']))}
 
 
 if __name__ == '__main__':

@@ -84,6 +84,20 @@ class Batch:
     gt: Optional[np.ndarray] = None      # [B,Hg,Wg] int32 seg labels or None
 
 
+def packaged_split_path(dataset: str, split: str) -> Optional[str]:
+    """Path to a shipped reference split list, or None.
+
+    The reference distributes its exact evaluation protocol as data
+    (03b_irn/voc12/*.txt — train_aug 10,582 / val 1,449 —, adp/*.txt,
+    deepglobe/*.txt); these ship under wsss_tpu/data/splits/ so the
+    published splits work on a devkit that lacks ImageSets/."""
+    family = ('voc12' if dataset == 'VOC2012' else
+              'adp' if dataset.startswith('ADP') else 'deepglobe')
+    path = os.path.join(os.path.dirname(__file__), 'splits', family,
+                        split + '.txt')
+    return path if os.path.exists(path) else None
+
+
 class DevkitDataset:
     """Reads a reference-layout devkit (VOCdevkit / ADPdevkit / DGdevkit).
 
@@ -140,7 +154,18 @@ class DevkitDataset:
                 names = [ln.strip().split(' ')[0] for ln in f
                          if ln.strip()]
         else:
-            raise FileNotFoundError(f'no split list {txt} / {csv}')
+            # packaged reference split lists (03b_irn/{voc12,adp,
+            # deepglobe}/*.txt ship with the wheel) so a stock devkit
+            # without ImageSets/ still runs the published protocol —
+            # but only when the devkit's image tree actually exists
+            # (an absent devkit must still fall back to synthetic).
+            shipped = (packaged_split_path(self.spec.name, self.split)
+                       if os.path.isdir(img_dir) else None)
+            if shipped is None:
+                raise FileNotFoundError(f'no split list {txt} / {csv}')
+            with open(shipped) as f:
+                names = [ln.strip().split(' ')[0] for ln in f
+                         if ln.strip()]
         if tags is None:
             tags = self._resolve_tags(names, split_dir)
         if tags is None:

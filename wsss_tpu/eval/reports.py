@@ -20,10 +20,14 @@ import numpy as np
 
 
 def colorize(labels: np.ndarray, palette: np.ndarray,
-             ignore_label: int = 255) -> np.ndarray:
-    """Index map [H,W] -> RGB uint8 via the dataset palette; ignore=black."""
+             ignore_label: int = 255,
+             ignore_color=(0, 0, 0)) -> np.ndarray:
+    """Index map [H,W] -> RGB uint8 via the dataset palette.  The ignore
+    label renders black by default; cam_to_ir_label.py:87-88 renders its
+    255 mid-confidence pixels WHITE — pass ignore_color=(255,)*3 there."""
     pal = np.asarray(palette, np.uint8)
     out = np.zeros(labels.shape + (3,), np.uint8)
+    out[...] = np.asarray(ignore_color, np.uint8)
     valid = labels != ignore_label
     out[valid] = pal[np.clip(labels[valid], 0, len(pal) - 1)]
     return out
@@ -40,6 +44,30 @@ def save_png(path: str, arr: np.ndarray) -> None:
     from PIL import Image
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     Image.fromarray(arr).save(path)
+
+
+def save_color_and_overlay(out_dir: str, name: str, labels: np.ndarray,
+                           palette: np.ndarray,
+                           img: Optional[np.ndarray] = None,
+                           r: float = 0.75,
+                           ignore_label: int = 255,
+                           ignore_color=(0, 0, 0)) -> None:
+    """Write `{name}.png` (palette-colorized labels) and, when the original
+    image is given, `{name}_overlay.png` — the debug-artifact pair every
+    reference step emits (eval_cam.py:66-85, cam_to_ir_label.py:79-93,
+    make_sem_seg_labels.py:121-140, 03a model.py:588-612).  The color mask
+    is nearest-resized to the image geometry when they differ
+    (eval_cam.py:80-82)."""
+    color = colorize(labels, palette, ignore_label, ignore_color)
+    save_png(os.path.join(out_dir, name + '.png'), color)
+    if img is None:
+        return
+    if img.shape[:2] != color.shape[:2]:
+        from PIL import Image as _Image
+        color = np.asarray(_Image.fromarray(color).resize(
+            (img.shape[1], img.shape[0]), _Image.NEAREST))
+    save_png(os.path.join(out_dir, name + '_overlay.png'),
+             overlay(np.asarray(img, np.float32), color, r))
 
 
 def write_iou_csv(path: str, class_names: Sequence[str], iou: np.ndarray,

@@ -252,12 +252,21 @@ class ADPCueGenerator:
                   for i in range(p31.shape[0])]
         return m_inds, f_inds
 
-    def run(self, batches, verbose: bool = False
+    def run(self, batches, verbose: bool = False, mesh=None
             ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+        """mesh: optional jax.sharding.Mesh — shards each batch over the
+        'data' axis (same contract as VOCDeepGlobeCueGenerator.run)."""
         out_m: Dict[str, np.ndarray] = {}
         out_f: Dict[str, np.ndarray] = {}
         for b in batches:
-            oh_m, oh_f, is_pass = self.generate_batch(b.images)
+            if mesh is not None:
+                from wsss_tpu.parallel.mesh import shard_batch
+                (imgs,), b0 = shard_batch(mesh,
+                                          b.images.astype(np.float32))
+                oh_m, oh_f, is_pass = self._batch_fn(imgs, None)
+                oh_m, oh_f, is_pass = oh_m[:b0], oh_f[:b0], is_pass[:b0]
+            else:
+                oh_m, oh_f, is_pass = self.generate_batch(b.images)
             m_inds, f_inds = self.class_inds(np.asarray(is_pass))
             artifacts.pack_cues(np.asarray(oh_m), m_inds,
                                 list(b.indices), out_m)
@@ -269,33 +278,75 @@ class ADPCueGenerator:
         return out_m, out_f
 
 
-def eval_cues_miou(cue_dict: Dict[str, np.ndarray], gt_batches,
-                   n_seg_classes: int, seed_size: int = SEED_SIZE
-                   ) -> Tuple[np.ndarray, float]:
-    """Cue-quality mIoU vs GT (02_cues/demo.py:323-485 equivalent):
-    cue argmax at the seed grid, nearest-upsampled to GT size, pixels with
-    no cue ignored."""
+def _nearest_resize(arr: np.ndarray, hw) -> np.ndarray:
+    """Nearest-neighbor resize of a [H,W] map (cv2.INTER_NEAREST stand-in)."""
     import jax.image as jimage
-    from wsss_tpu.eval import metrics
-    conf = np.zeros((n_seg_classes, n_seg_classes), np.int64)
+    return np.asarray(jimage.resize(
+        jnp.asarray(arr, jnp.float32)[..., None], hw + (1,),
+        'nearest'))[..., 0]
+
+
+def eval_cues_miou(cue_dict: Dict[str, np.ndarray], gt_batches,
+                   n_seg_classes: int, seed_size: int = SEED_SIZE,
+                   dataset: str = 'VOC2012',
+                   size: Optional[int] = None
+                   ) -> Tuple[np.ndarray, float]:
+    """Cue-quality mIoU vs GT — exact transcription of the reference's
+    per-dataset accumulation (02_cues/demo.py:323-485, :583-625):
+
+      * VOC2012 (demo.py:424-441): cue argmax at the 41x41 seed grid —
+        un-cued pixels fall to argmax(zeros)=0 i.e. BACKGROUND — nearest-
+        resized to GT size; per-class intersect/union over all 21 classes
+        against the raw GT indices (255 border pixels match no class but
+        still count in the union when predicted); mIoU = mean(I/(U+1e-7)).
+      * DeepGlobe (demo.py:442-463): un-cued pixels set to ignore_ind=6
+        (the dropped 'unknown' class), I/U accumulated over the first 6
+        classes only.
+      * ADP morph/func (demo.py:583-625): each class channel is an
+        INDEPENDENT binary mask (cues may overlap across classes — no
+        argmax), nearest-resized to the network input `size`; GT is also
+        evaluated at `size`; IoU = I/U with NO epsilon, mIoU = plain mean.
+
+    Returns (per-class IoU over the evaluated classes, mIoU)."""
+    is_adp = dataset.startswith('ADP')
+    is_dg = dataset.startswith('DeepGlobe')
+    n_eval = n_seg_classes - 1 if is_dg else n_seg_classes
+    intersects = np.zeros(n_eval, np.int64)
+    unions = np.zeros(n_eval, np.int64)
     for b in gt_batches:
         if b.gt is None:
             continue
-        gh, gw = b.gt.shape[1:3]
         dense = np.stack([
             artifacts.unpack_cues(cue_dict, int(i),
                                   (seed_size, seed_size, n_seg_classes))
             for i in b.indices])
-        cue_lab = np.argmax(dense, -1)
-        has_cue = dense.sum(-1) > 0
-        cue_lab = np.where(has_cue, cue_lab, 255)
-        up = np.asarray(jimage.resize(
-            jnp.asarray(cue_lab, jnp.float32)[..., None],
-            (cue_lab.shape[0], gh, gw, 1), 'nearest'))[..., 0].astype(
-                np.int32)
-        # ignore un-cued pixels by mapping them to ignore_label in *gt*
-        gt = np.where(up == 255, 255, b.gt)
-        conf = metrics.accumulate_confusion(
-            conf, jnp.asarray(up), jnp.asarray(gt), n_seg_classes)
-    iou, miou = metrics.iou_from_confusion(conf)
-    return np.asarray(iou), float(miou)
+        for j in range(dense.shape[0]):
+            gt = b.gt[j]
+            if is_adp:
+                hw = (size, size) if size else gt.shape
+                if gt.shape != hw:   # ref evals ADP at network size
+                    gt = _nearest_resize(gt, hw).astype(np.int32)
+                # per-class binary channels, no argmax (demo.py:594-600)
+                for k in range(n_eval):
+                    pred_mask = _nearest_resize(dense[j, :, :, k],
+                                                hw) == 1.0
+                    gt_mask = gt == k
+                    intersects[k] += int(np.sum(gt_mask & pred_mask))
+                    unions[k] += int(np.sum(gt_mask | pred_mask))
+                continue
+            cue_lab = np.argmax(dense[j], -1)
+            if is_dg:
+                # un-cued -> ignore_ind (demo.py:450-451)
+                cue_lab[dense[j].sum(-1) == 0] = n_eval
+            pred = _nearest_resize(cue_lab, gt.shape).astype(np.int32)
+            for k in range(n_eval):
+                gt_mask = gt == k
+                pred_mask = pred == k
+                intersects[k] += int(np.sum(gt_mask & pred_mask))
+                unions[k] += int(np.sum(gt_mask | pred_mask))
+    if is_adp:
+        with np.errstate(divide='ignore', invalid='ignore'):
+            iou = intersects / unions            # demo.py:620 — no eps
+    else:
+        iou = intersects / (unions + 1e-7)       # demo.py:481
+    return np.asarray(iou), float(np.mean(iou))

@@ -149,10 +149,19 @@ class ADPHSNSegmenter:
         self._batch_fn = batch_fn
         self._cfg_morph, self._cfg_func = cfg_morph, cfg_func
 
-    def segment_batch(self, imgs_raw) -> Tuple[jax.Array, jax.Array]:
-        imgs = jnp.asarray(imgs_raw, jnp.float32)
+    def segment_batch(self, imgs_raw, mesh=None
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """mesh: optional jax.sharding.Mesh — batch shards over 'data'
+        (same contract as HSNSegmenter.segment_batch)."""
+        if mesh is not None:
+            from wsss_tpu.parallel.mesh import shard_batch
+            (imgs,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
+                                                       np.float32))
+        else:
+            imgs, b0 = jnp.asarray(imgs_raw, jnp.float32), None
         cs_m, cs_f = self._batch_fn(imgs)
         q_m = mean_field(cs_m, imgs, self._cfg_morph)
         q_f = mean_field(cs_f, imgs, self._cfg_func)
-        return (jnp.argmax(q_m, -1).astype(jnp.int32),
-                jnp.argmax(q_f, -1).astype(jnp.int32))
+        lm = jnp.argmax(q_m, -1).astype(jnp.int32)
+        lf = jnp.argmax(q_f, -1).astype(jnp.int32)
+        return (lm, lf) if b0 is None else (lm[:b0], lf[:b0])

@@ -236,6 +236,42 @@ class CAMInference:
 
 
 # ---------------------------------------------------------------------------
+# Step 2: eval_cam label assembly
+# ---------------------------------------------------------------------------
+
+def eval_cam_pred(cam_dict: Dict[str, np.ndarray], dataset: str,
+                  cam_eval_thres: float) -> Optional[np.ndarray]:
+    """Per-dataset CAM -> label-map assembly, exactly eval_cam.py:48-62:
+
+      * VOC2012: pad a constant `cam_eval_thres` channel in front of
+        high_res and shift keys by the background class (:49-52).
+      * ADP: argmax the raw high_res channels — keys already include the
+        background classes (make_cam.py:54-61), no padding (:53-55).
+      * DeepGlobe: argmax the raw STRIDED 'cam' array with raw keys
+        (:56-58) — NOT high_res.
+
+    Returns the label map at the cams' resolution, or None when the cam
+    dict is empty for a non-VOC dataset (the reference would crash on
+    argmax of an empty array; such images are skipped)."""
+    if dataset == 'VOC2012':
+        cams = np.pad(cam_dict.get('high_res', cam_dict['cam']),
+                      ((1, 0), (0, 0), (0, 0)),
+                      constant_values=cam_eval_thres)
+        keys = np.pad(cam_dict['keys'] + 1, (1, 0), mode='constant')
+    elif dataset.startswith('ADP'):
+        if cam_dict['keys'].size == 0:
+            return None
+        keys = cam_dict['keys']
+        cams = cam_dict.get('high_res', cam_dict['cam'])
+    else:                              # DeepGlobe / DeepGlobe_balanced
+        if cam_dict['keys'].size == 0:
+            return None
+        keys = cam_dict['keys']
+        cams = cam_dict['cam']
+    return np.asarray(keys)[np.argmax(cams, axis=0)]
+
+
+# ---------------------------------------------------------------------------
 # Step 3: cam_to_ir_label
 # ---------------------------------------------------------------------------
 

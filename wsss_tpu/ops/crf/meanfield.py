@@ -471,8 +471,12 @@ def _mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
         return False
     if not _routes_to_grid(hw, config.bi_sxy, config.bi_srgb):
         return False
+    # require8 must mirror MXUBilateralGrid's constructor
+    # (mxu_grid.py:431: require8=not interpret) or the forced-interpret
+    # escape hatch dead-ends for non-8-aligned spatial cells.
     if not _mxu.applicable(config.bi_sxy, config.bi_srgb, n_ch,
-                           MXU_CELL_MULT):
+                           MXU_CELL_MULT,
+                           require8=not _MXU_FORCE_INTERPRET):
         return False
     return _MXU_FORCE_INTERPRET or jax.default_backend() == 'tpu'
 

@@ -124,13 +124,18 @@ def mean_field_sharded(probs: Array, img: Array, config, mesh: Mesh,
 
         def body(_, q_loc):
             q_e = _exchange_rows(q_loc, halo, axis)
+            # mask message INPUTS by validity: padded rows (h not a
+            # multiple of ndev*t) must not emit messages into valid
+            # rows — the unsharded path excludes padding entirely
+            # (normalizers alone only fix the denominator).
             msg = 0.
             if cfg_kw['g_compat']:
-                m = n_g * _gaussian_filter_raw(n_g * q_e, cfg_kw['g_sxy'])
+                m = n_g * _gaussian_filter_raw(n_g * q_e * v_e,
+                                               cfg_kw['g_sxy'])
                 if exclude_self:
                     m = m - (n_g * n_g) * q_e
                 msg = msg + cfg_kw['g_compat'] * m
-            m = (n_b * grid.filter(n_b * q_e))[0]
+            m = (n_b * grid.filter(n_b * q_e * v_e))[0]
             if exclude_self:
                 m = m - ((n_b * n_b) * q_e[None])[0]
             msg = msg + cfg_kw['bi_compat'] * m

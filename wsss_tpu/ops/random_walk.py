@@ -154,6 +154,9 @@ def propagate_to_edge(cam: Array, edge: Array, beta: float = 10.0,
     """
     k, h, w = cam.shape
     n = h * w
+    # clamp the search radius for degenerate tiny grids (smoke runs);
+    # production grids (>= 320/4) never hit this
+    radius = max(2, min(radius, (min(h, w) + 1) // 2))
     trans = _transition_matrix(edge, (h, w), beta, radius)
 
     def body(_, t):

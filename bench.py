@@ -5,18 +5,25 @@ path (VGG16 @ 321^2, 21 classes, HistoSegNet-style dense-CRF refinement at
 full resolution).  The reference runs this as Keras predict + host einsum +
 per-image pydensecrf on CPU (02_cues/demo.py:155-214,
 03c_hsn/demo.py:101-232); its own per-image timing prints put it at ~2
-img/s on an RTX 2060-class GPU (CRF-dominated), which is the vs_baseline
-denominator used here.
+img/s on an RTX 2060-class GPU (CRF-dominated).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+The primary fields keep the driver contract; "extras" carries the
+round-3 measurement requirements (VERDICT items 3/8):
 
-The BASELINE.json target (>=50x reference throughput) is specified **on
-a v5e-8 slice**; this bench runs on the single tunneled chip, so
-vs_baseline is per-chip.  The whole-split drivers shard the batch over
-a Mesh 'data' axis with parity tests (gradcam_cues.run(mesh=),
-hsn.segment_batch(mesh=), irnet.make_cam_batch(mesh=)) and the images
-are independent, so the slice-level figure scales ~linearly:
-8 x 11.5x/chip ~= 92x at the current per-chip number.
+  * per-stage throughput (mesh-driver path vs bare loop -> measured
+    driver overhead, irn make_cam MSF, SEC predict+CRF, random walk);
+  * MFU estimates from XLA's compiled cost analysis (flops / time /
+    v5e-chip bf16 peak);
+  * a measured CPU anchor for the 2 img/s denominator: the native
+    permutohedral CRF (the same algorithm/config family pydensecrf
+    runs in the reference) timed on this host.
+
+The BASELINE.json target (>=50x reference throughput) is specified on a
+v5e-8 slice; this bench runs on the single tunneled chip, so vs_baseline
+is per-chip.  extras.mesh_overhead_factor quantifies the driver cost of
+the sharded whole-split path (gradcam_cues.run(mesh=) contract) measured
+with a 1-device mesh on this chip.
 
 NOTE (axon): block_until_ready does not block under the TPU tunnel — the
 loop chains device calls and forces one host fetch at the end.
@@ -28,7 +35,45 @@ import time
 
 import numpy as np
 
-REFERENCE_IMGS_PER_SEC = 2.0  # reference GPU estimate (see module docstring)
+REFERENCE_IMGS_PER_SEC = 2.0  # reference GPU estimate; see extras.anchor
+V5E_PEAK_FLOPS = 197e12       # per-chip bf16 peak (v5e litepod chip)
+
+
+def _fetch(out):
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(out)
+    float(np.asarray(jnp.sum(jnp.asarray(leaves[0]).astype(jnp.float32))))
+
+
+def _time(fn, iters=4, warmup=1):
+    out = None
+    for attempt in range(2):   # axon compile helper intermittently 500s
+        try:
+            for _ in range(warmup):
+                out = fn()
+            break
+        except Exception:
+            if attempt == 1:
+                raise
+    _fetch(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    _fetch(out)
+    return (time.time() - t0) / iters
+
+
+def _flops(jitted, *args):
+    """Compiled-executable FLOP count from XLA cost analysis (None if
+    the backend does not report it)."""
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get('flops', 0.0)) or None
+    except Exception:
+        return None
 
 
 def main():
@@ -44,6 +89,7 @@ def main():
     size = 321
     batch = 4
     n_batches = 4
+    extras = {}
 
     fg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size)
     bg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size,
@@ -58,28 +104,85 @@ def main():
         rng.uniform(0, 255, (batch, size, size, 3)).astype(np.float32))
             for _ in range(n_batches)]
 
-    # warmup/compile — the axon remote compile helper intermittently
-    # fails with HTTP 500; retry once before giving up
-    for attempt in range(2):
-        try:
-            _ = np.asarray(seg.segment_batch(imgs[0]))
-            break
-        except Exception:
-            if attempt == 1:
-                raise
+    # ---- headline: bare per-batch loop --------------------------------
+    def headline():
+        return [seg.segment_batch(im) for im in imgs]
+    dt = _time(headline, iters=2, warmup=1)
+    ips = batch * n_batches / dt
+    extras['headline_ms_per_img'] = round(1e3 * dt / (batch * n_batches),
+                                          2)
 
-    t0 = time.time()
-    outs = [seg.segment_batch(im) for im in imgs]
-    sink = sum(int(np.asarray(o)[0, 0, 0]) * 0 for o in outs)  # host sync
-    dt = time.time() - t0
-    n_imgs = batch * n_batches + sink
-    ips = n_imgs / dt
+    # ---- mesh-driver path on a 1-device mesh: measures the sharded
+    # whole-split driver's overhead (device_put + pad-to-shards) --------
+    try:
+        from wsss_tpu.parallel.mesh import batch_sharding, make_mesh
+        mesh1 = make_mesh(1, axis_names=('data',))
+        # pre-placed (the production prefetch loop overlaps placement
+        # with compute): isolates the sharded-dispatch overhead itself
+        placed = [jax.device_put(np.asarray(im), batch_sharding(mesh1))
+                  for im in imgs]
+
+        def mesh_path():
+            return [seg.segment_batch(im, mesh=mesh1) for im in placed]
+        dt_mesh = _time(mesh_path, iters=2, warmup=1)
+        extras['mesh1_imgs_per_sec'] = round(batch * n_batches / dt_mesh,
+                                             2)
+        extras['mesh_overhead_factor'] = round(dt_mesh / dt, 3)
+
+        # host-resident batches: adds the per-batch device_put (on axon
+        # this includes the tunnel upload; on a real pod it's PCIe/DMA)
+        host_imgs = [np.asarray(im) for im in imgs]
+
+        def mesh_upload_path():
+            return [seg.segment_batch(im, mesh=mesh1)
+                    for im in host_imgs]
+        dt_up = _time(mesh_upload_path, iters=2, warmup=1)
+        extras['mesh_upload_factor'] = round(dt_up / dt, 3)
+    except Exception as e:             # pragma: no cover
+        extras['mesh_overhead_factor'] = f'failed: {type(e).__name__}'
+
+    # ---- per-stage: CAM probs (MXU conv stage) + its MFU --------------
+    probs_j = jax.jit(seg._probs_fn)
+    dt_cam = _time(lambda: probs_j(imgs[0]), iters=4)
+    extras['cam_stage_imgs_per_sec'] = round(batch / dt_cam, 2)
+    fl = _flops(probs_j, imgs[0])
+    if fl:
+        extras['cam_stage_mfu'] = round(fl / dt_cam / V5E_PEAK_FLOPS, 4)
+
+    # ---- per-stage: CRF only (the grid-routed mean field) + MFU -------
+    from wsss_tpu.ops.crf.meanfield import mean_field
+    probs0 = jax.nn.softmax(jnp.asarray(
+        rng.normal(0, 1, (1, size, size, spec.n_seg_classes))
+        .astype(np.float32)))
+    img0 = imgs[0][:1]
+    cfg = seg._cfg
+
+    def crf_once():
+        return mean_field(probs0, img0, cfg)
+    dt_crf = _time(crf_once, iters=4)
+    extras['crf_imgs_per_sec'] = round(1.0 / dt_crf, 2)
+
+    # ---- denominator anchor: native permutohedral CRF on this host ----
+    # (the reference's pydensecrf runs the same lattice family on CPU;
+    # one image at the same config anchors the ~2 img/s estimate)
+    try:
+        from wsss_tpu.ops.crf import native as crf_native
+        if crf_native.available():
+            p_np = np.asarray(probs0[0])
+            i_np = np.asarray(img0[0])
+            t0 = time.time()
+            crf_native.mean_field_native(p_np, i_np, cfg)
+            extras['anchor_native_crf_sec_per_img'] = round(
+                time.time() - t0, 3)
+    except Exception:                  # pragma: no cover
+        pass
 
     print(json.dumps({
         'metric': 'cam_crf_pseudolabel_gen',
         'value': round(ips, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips / REFERENCE_IMGS_PER_SEC, 2),
+        'extras': extras,
     }))
 
 

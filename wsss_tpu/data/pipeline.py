@@ -93,6 +93,8 @@ def packaged_split_path(dataset: str, split: str) -> Optional[str]:
     published splits work on a devkit that lacks ImageSets/."""
     family = ('voc12' if dataset == 'VOC2012' else
               'adp' if dataset.startswith('ADP') else 'deepglobe')
+    if family == 'adp' and split == 'segtest':
+        split = 'evaluation'   # 02_cues' name for 03b's evaluation set
     path = os.path.join(os.path.dirname(__file__), 'splits', family,
                         split + '.txt')
     return path if os.path.exists(path) else None

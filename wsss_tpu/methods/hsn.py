@@ -83,8 +83,7 @@ class HSNSegmenter:
         program; same contract as gradcam_cues.run(mesh=))."""
         if mesh is not None:
             from wsss_tpu.parallel.mesh import shard_batch
-            (imgs,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
-                                                       np.float32))
+            (imgs,), b0 = shard_batch(mesh, imgs_raw)
             probs = self._probs_fn(imgs)
             q = mean_field(probs, imgs, self._cfg)
             return jnp.argmax(q, axis=-1).astype(jnp.int32)[:b0]
@@ -155,8 +154,7 @@ class ADPHSNSegmenter:
         (same contract as HSNSegmenter.segment_batch)."""
         if mesh is not None:
             from wsss_tpu.parallel.mesh import shard_batch
-            (imgs,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
-                                                       np.float32))
+            (imgs,), b0 = shard_batch(mesh, imgs_raw)
         else:
             imgs, b0 = jnp.asarray(imgs_raw, jnp.float32), None
         cs_m, cs_f = self._batch_fn(imgs)

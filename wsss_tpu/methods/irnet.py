@@ -166,8 +166,7 @@ class CAMInference:
         imgs_j = jnp.asarray(imgs_raw, jnp.float32)
         if mesh is not None:
             from wsss_tpu.parallel.mesh import shard_batch
-            (imgs_sh,), b0 = shard_batch(mesh, np.asarray(imgs_raw,
-                                                          np.float32))
+            (imgs_sh,), b0 = shard_batch(mesh, imgs_raw)
             cam, hi, scores = self._msf_batch(imgs_sh)
             cam, hi, scores = cam[:b0], hi[:b0], scores[:b0]
         else:

@@ -127,18 +127,42 @@ def _gauss_band(n: int, sxy: float) -> np.ndarray:
 
 
 def _gaussian_filter_raw(x: Array, sxy: float,
-                         axes: Tuple[int, int] = (0, 1)) -> Array:
+                         axes: Tuple[int, int] = (0, 1),
+                         dtype=None) -> Array:
     """K @ x with K = exp(-|dp|^2/2 sxy^2) (self weight 1), truncated at
     radius ceil(4*sxy). x: [H,W,C] (or batched, with `axes` naming the
-    two spatial axes).  Each axis is one band-matrix matmul."""
+    two spatial axes).  Each axis is one band-matrix matmul.
+
+    Layout note (TPU): the naive per-axis einsum leaves the channel
+    minor dim (e.g. C=21) on the contraction RHS for the column pass,
+    which XLA lowers to H tiny [W,W]x[W,C] dots — each lane-padded to
+    128 and dominated by fixed MXU pipeline latency (measured ~2 ms/iter
+    at 321^2).  Both passes here contract against the FULL remaining
+    array (free size B*W*C) with one final transpose, so each blur is a
+    single large [N,N]x[N,B*N*C] dot.  `dtype` optionally casts the
+    operands (bf16 on the MXU path — f32 accumulate via
+    preferred_element_type)."""
     b0, b1 = (jnp.asarray(_gauss_band(x.shape[ax], float(sxy)))
               for ax in axes)
+    if dtype is not None:
+        b0, b1 = b0.astype(dtype), b1.astype(dtype)
+        xd = x.astype(dtype)
+    else:
+        xd = x
     if x.ndim == 3 and axes == (0, 1):
-        x = jnp.einsum('yz,zwc->ywc', b0, x)
-        return jnp.einsum('wv,yvc->ywc', b1, x)
+        # [H,H] x [H,(W C)] -> [H,W,C]; then [W,W] x_(contract W) -> WHC
+        t1 = jax.lax.dot_general(b0, xd, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        t2 = jax.lax.dot_general(b1, t1, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return jnp.transpose(t2, (1, 0, 2)).astype(x.dtype)
     if x.ndim == 4 and axes == (1, 2):
-        x = jnp.einsum('yz,bzwc->bywc', b0, x)
-        return jnp.einsum('wv,byvc->bywc', b1, x)
+        t1 = jax.lax.dot_general(b0, xd, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # t1: [H, B, W, C]; contract W -> [W, H, B, C]
+        t2 = jax.lax.dot_general(b1, t1, (((1,), (2,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return jnp.transpose(t2, (2, 1, 0, 3)).astype(x.dtype)
     for ax, band in zip(axes, (b0, b1)):      # generic fallback
         x = jnp.moveaxis(jnp.tensordot(band, x, axes=(1, ax)), 0, ax)
     return x
@@ -521,11 +545,17 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     def body(_, Q):
         msg = 0.
         if g_compat:
-            m = n_g * _gaussian_filter_raw(n_g * Q, g_sxy, axes=(1, 2))
+            # bf16 operands (f32 accumulate) — the bilateral path already
+            # runs Q through bf16 grid kernels, same precision class
+            m = n_g * _gaussian_filter_raw(n_g * Q, g_sxy, axes=(1, 2),
+                                           dtype=jnp.bfloat16)
             if exclude_self:
                 m = m - (n_g * n_g) * Q
             msg = msg + g_compat * m
-        m = n_b * grid.filter(n_b * Q)
+        # bf16 into the splat: the kernels already compute in bf16
+        # internally; feeding bf16 halves the per-tile image-layout
+        # fetch + pad traffic of the hot phase
+        m = n_b * grid.filter((n_b * Q).astype(jnp.bfloat16))
         if exclude_self:
             m = m - (n_b * n_b) * Q
         msg = msg + bi_compat * m

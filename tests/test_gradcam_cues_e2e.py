@@ -103,3 +103,16 @@ def test_sharded_cue_generation_matches(voc_gen):
     assert set(single) == set(sharded)
     for k in single:
         np.testing.assert_array_equal(single[k], sharded[k], err_msg=k)
+
+
+def test_save_cue_images(voc_gen, tmp_path):
+    ds = SyntheticWSSS('VOC2012', size=64, n_images=4)
+    cue_dict = voc_gen.run(ds.batches(4))
+    n = gc.save_cue_images(cue_dict, ds.batches(4, with_gt=True),
+                           np.zeros((21, 3), np.uint8) + 7,
+                           str(tmp_path), 21)
+    assert n == 4
+    import os
+    files = os.listdir(tmp_path)
+    assert sum(f.endswith('_overlay.png') for f in files) == 4
+    assert len(files) == 8

@@ -29,6 +29,9 @@ def main(argv=None):
                    help="ADP evaluation set (02_cues/demo.py:41; "
                         "'evaluation' is 03b's name for segtest)")
     p.add_argument('--cues_root', default='cues')
+    p.add_argument('--saveimg', action='store_true',
+                   help='colorized + overlay PNGs for evaluated cues '
+                        '(02_cues/demo.py:466-477)')
     args = p.parse_args(argv)
 
     size = common.input_size(args)
@@ -63,6 +66,13 @@ def main(argv=None):
                 reports.write_iou_csv(path, spec.seg_class_names, iou)
                 print(f'[eval_cues, ADP-{htt}] miou: {miou:.5f}')
                 result[f'cue_miou_{htt}'] = miou
+                if args.saveimg:
+                    _, b3 = common.get_batches(args, args.split, size,
+                                               with_gt=True, htt=htt)
+                    gc.save_cue_images(
+                        out, b3, spec.palette_array(),
+                        os.path.join(args.out_root, sid, htt),
+                        spec.n_seg_classes, dataset=f'ADP-{htt}')
         return result
 
     spec = registry.get(args.dataset)
@@ -96,6 +106,14 @@ def main(argv=None):
         path = os.path.join(args.eval_root, sid, 'cues_iou.csv')
         reports.write_iou_csv(path, names, iou)
         print(f'[eval_cues, {args.dataset}] miou: {miou:.5f}')
+        if args.saveimg:
+            _, b3 = common.get_batches(args, args.split, size,
+                                       with_gt=True)
+            r = 0.25 if args.dataset.startswith('DeepGlobe') else 0.75
+            gc.save_cue_images(out, b3, spec.palette_array(),
+                               os.path.join(args.out_root, sid),
+                               spec.n_seg_classes,
+                               dataset=args.dataset, overlay_r=r)
         return {'cue_miou': miou}
 
 

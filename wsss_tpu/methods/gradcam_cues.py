@@ -278,6 +278,50 @@ class ADPCueGenerator:
         return out_m, out_f
 
 
+def save_cue_images(cue_dict: Dict[str, np.ndarray], gt_batches,
+                    palette: np.ndarray, out_dir: str,
+                    n_seg_classes: int, seed_size: int = SEED_SIZE,
+                    dataset: str = 'VOC2012',
+                    overlay_r: float = 0.75) -> int:
+    """Debug PNGs for evaluated cues (02_cues/demo.py:466-477): the
+    colorized cue prediction + an overlay on the original image
+    (DeepGlobe images are downsampled /4 there to save space; we keep
+    full size — the overlay content is identical)."""
+    import os
+    from wsss_tpu.eval import reports
+    is_adp = dataset.startswith('ADP')
+    n = 0
+    for b in gt_batches:
+        for j, name in enumerate(b.names):
+            dense = artifacts.unpack_cues(
+                cue_dict, int(b.indices[j]),
+                (seed_size, seed_size, n_seg_classes))
+            img = b.images[j]
+            hw = img.shape[:2]
+            if is_adp:
+                # per-class accumulated color mask (demo.py:592-598 —
+                # overlapping ADP cues sum their class colors)
+                mask = np.zeros(hw + (3,), np.float32)
+                for k in range(n_seg_classes):
+                    up = _nearest_resize(dense[:, :, k], hw) == 1.0
+                    mask += up[..., None] * palette[k][None, None]
+                color = np.clip(mask, 0, 255).astype(np.uint8)
+            else:
+                lab = np.argmax(dense, -1)
+                if dataset.startswith('DeepGlobe'):
+                    lab[dense.sum(-1) == 0] = n_seg_classes - 1
+                up = _nearest_resize(lab, hw).astype(np.int32)
+                color = reports.colorize(up, palette)
+            reports.save_png(os.path.join(out_dir, name + '.png'),
+                             color)
+            reports.save_png(
+                os.path.join(out_dir, name + '_overlay.png'),
+                reports.overlay(np.asarray(img, np.float32), color,
+                                overlay_r))
+            n += 1
+    return n
+
+
 def _nearest_resize(arr: np.ndarray, hw) -> np.ndarray:
     """Nearest-neighbor resize of a [H,W] map (cv2.INTER_NEAREST stand-in)."""
     import jax.image as jimage

@@ -44,6 +44,17 @@ Array = jax.Array
 # escape hatches for the MXU grid path: env kill-switch, and a test hook
 # that forces it on non-TPU backends (Pallas interpret mode)
 _MXU_DISABLED = bool(os.environ.get('WSSS_TPU_NO_MXU'))
+# Spatial-downsampled bilateral message: when the spatial kernel is wide
+# (cells >= MXU_DS_MIN_SXY px) the pairwise message is smooth at the
+# pixel scale, so it is computed on a guide image resampled to 16-px
+# cells (sxy/16 downsample) and bilinearly upsampled back — splat/slice
+# MACs scale with the pixel count ((16/sxy)^2 of the work); the extra
+# resample variance is << sxy^2.  Unaries, the spatial-Gaussian message
+# and the softmax stay at full resolution.  Fidelity is pinned by
+# tests/test_mxu_grid.py::test_mxu_fidelity_vs_permutohedral.
+MXU_DS_CELL = 16
+MXU_DS_MIN_SXY = 24
+_MXU_DS_DISABLED = bool(os.environ.get('WSSS_TPU_NO_SPATIAL_DS'))
 _MXU_FORCE_INTERPRET = False
 # color-cell coarsening for the MXU grid (cell = MXU_CELL_MULT * srgb).
 # 1.35 measured 0.923 label agreement with the exact mean field on the
@@ -518,9 +529,25 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     (methods/hsn.py, cli/sec_dsrg.py predict) batch entire splits
     instead of chaining per-image dispatches at host level."""
     c = probs.shape[-1]
+    h, w = probs.shape[-3:-1]
     U = -jnp.log(jnp.clip(probs.astype(jnp.float32), 1e-10, None))
     logits0 = -U - jnp.max(-U, axis=-1, keepdims=True)
     Q = jax.nn.softmax(logits0, axis=-1)
+
+    from wsss_tpu.ops.filters import resize_bilinear
+
+    # spatially downsampled bilateral message (see MXU_DS_CELL note):
+    # the guide image resamples to MXU_DS_CELL-px cells so splat/slice
+    # work scales by (CELL/sxy)^2; messages bilinearly upsample back
+    use_ds = (not _MXU_DS_DISABLED and bi_sxy >= MXU_DS_MIN_SXY
+              and min(h, w) >= 2 * bi_sxy)
+    if use_ds:
+        f = bi_sxy / float(MXU_DS_CELL)
+        hd, wd = max(int(round(h / f)), 8), max(int(round(w / f)), 8)
+        img_g = resize_bilinear(imgs, (hd, wd))
+        sxy_g = float(MXU_DS_CELL)
+    else:
+        img_g, sxy_g, (hd, wd) = imgs, bi_sxy, (h, w)
 
     # NOTE: the aligned (nearest, sxy/2-cell) variant does ~4x fewer
     # one-hot matmul MACs but measures SLOWER end-to-end (53.7 vs
@@ -528,17 +555,26 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     # fragments the work into [256,400]x[400,88] dots whose fixed MXU
     # pipeline cost dominates.  Kept as AlignedBilateralGrid for study;
     # the bilinear sxy-cell grid stays the production path.
-    grid = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, c,
+    grid = _mxu.MXUBilateralGrid(img_g, sxy_g, bi_srgb, c,
                                  interpret=interpret,
                                  cell_mult=cell_mult)
     # the one-off normalizer filters a single channel: a dedicated C=1
-    # grid avoids paying a full C-wide filter pass for it
-    grid1 = _mxu.MXUBilateralGrid(imgs, bi_sxy, bi_srgb, 1,
+    # grid avoids paying a full C-wide filter pass for it; it SHARES
+    # the guide-image geometry (quantization, tiled indices, blur
+    # matrices) with the message grid — the duplicate construction
+    # measured ~11 ms/img of fixed cost at the production config
+    grid1 = _mxu.MXUBilateralGrid(img_g, sxy_g, bi_srgb, 1,
                                   interpret=interpret,
-                                  cell_mult=cell_mult)
-    ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
-    n_b = jax.lax.rsqrt(jnp.maximum(grid1.filter(ones), 1e-20))
+                                  cell_mult=cell_mult,
+                                  share_from=grid)
+    ones_g = jnp.ones(img_g.shape[:3] + (1,), jnp.float32)
+    n_b = jax.lax.rsqrt(jnp.maximum(grid1.filter(ones_g), 1e-20))
+    # symmetric normalization (deg^-1/2 K deg^-1/2) makes the message a
+    # degree-weighted average, so its magnitude is resolution-invariant;
+    # the upsampled normalizer only feeds the self-exclusion term
+    n_b_up = resize_bilinear(n_b, (h, w)) if use_ds else n_b
     if g_compat:
+        ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
         n_g = jax.lax.rsqrt(jnp.maximum(
             _gaussian_filter_raw(ones, g_sxy, axes=(1, 2)), 1e-20))
 
@@ -555,9 +591,14 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
         # bf16 into the splat: the kernels already compute in bf16
         # internally; feeding bf16 halves the per-tile image-layout
         # fetch + pad traffic of the hot phase
-        m = n_b * grid.filter((n_b * Q).astype(jnp.bfloat16))
+        if use_ds:
+            q_d = resize_bilinear(Q, (hd, wd))
+            m_d = n_b * grid.filter((n_b * q_d).astype(jnp.bfloat16))
+            m = resize_bilinear(m_d, (h, w))
+        else:
+            m = n_b * grid.filter((n_b * Q).astype(jnp.bfloat16))
         if exclude_self:
-            m = m - (n_b * n_b) * Q
+            m = m - (n_b_up * n_b_up) * Q
         msg = msg + bi_compat * m
         return jax.nn.softmax(-U + msg, axis=-1)
 

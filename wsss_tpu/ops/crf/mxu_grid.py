@@ -43,7 +43,7 @@ scatter-based path which had to chain per-image dispatches at host level.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -156,6 +156,16 @@ def _pick_hi_block(hip: int, gc: int, n_ch: int) -> int:
 def _blur_taps(sigma: float) -> Tuple[float, ...]:
     x = np.arange(-_BLUR_RADIUS, _BLUR_RADIUS + 1, dtype=np.float64)
     return tuple(float(v) for v in np.exp(-0.5 * (x / sigma) ** 2))
+
+
+def _band_mat(n: int, sigma: float, radius: int) -> np.ndarray:
+    """[n, n] truncated-Gaussian band matrix (self weight 1)."""
+    m_ = np.zeros((n, n))
+    d = np.exp(-0.5 * (np.arange(-radius, radius + 1) / sigma) ** 2)
+    for off in range(-radius, radius + 1):
+        if abs(off) < n:
+            m_ += np.diag(np.full(n - abs(off), d[off + radius]), k=off)
+    return m_
 
 
 # ---------------------------------------------------------------------------
@@ -419,12 +429,21 @@ class MXUBilateralGrid:
     """
 
     def __init__(self, imgs: Array, sxy: float, srgb: float, n_ch: int,
-                 interpret: bool = False, cell_mult: float = 1.0):
+                 interpret: bool = False, cell_mult: float = 1.0,
+                 share_from: 'Optional[MXUBilateralGrid]' = None):
         """cell_mult > 1 coarsens the color sampling (cell =
         cell_mult * srgb): the kernel MACs and grid bytes shrink by
         ~cell_mult^3 at the cost of larger nearest-assignment
         quantization (the in-grid blur sigma is recalibrated to keep
-        the end-to-end Gaussian variance)."""
+        the end-to-end Gaussian variance).
+
+        share_from: another grid built on the SAME imgs/sxy/srgb/
+        cell_mult — all channel-independent structure (guide-image
+        quantization, tiled hi/lo indices, splat weights, blur band
+        matrices) is reused instead of recomputed.  The mean-field
+        normalizer's C=1 grid shares its geometry with the C-wide
+        message grid this way (the duplicate construction measured
+        ~11 ms/img of fixed cost at the production config)."""
         if imgs.ndim != 4:
             raise ValueError('MXUBilateralGrid wants batched [B,H,W,3]')
         if not applicable(sxy, srgb, n_ch, cell_mult,
@@ -458,27 +477,71 @@ class MXUBilateralGrid:
                             // 16 * 16))
         self.p_chunks = _chunks(p, pch)
 
-        # hi/lo color-cell indices per pixel, tile-major; pad pixels point
-        # at cell 0 with zero value/weight so they never contribute
-        imgp = jnp.pad(imgs.astype(jnp.float32),
-                       ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
-        cell = jnp.clip(jnp.round(imgp / (srgb * cell_mult)
-                                  ).astype(jnp.int32), 0, gc - 1)
-        # slice factorization: hi = (cr,cg) row index, lo = cb
-        hi = cell[..., 0] * gc + cell[..., 1]
-        lo = cell[..., 2]
-        hi = self._tile(hi[..., None])[..., 0]         # [B,nty,ntx,P]
-        lo = self._tile(lo[..., None])[..., 0]
-        self.hl = jnp.stack([hi, lo], axis=-1)         # [B,nty,ntx,P,2]
-        # splat factorization: lo = cr (major axis, so partials land in
-        # m-order), hi = (cg,cb)
-        hi_s = cell[..., 1] * gc + cell[..., 2]
-        lo_s = cell[..., 0]
-        hi_s = self._tile(hi_s[..., None])[..., 0]
-        lo_s = self._tile(lo_s[..., None])[..., 0]
-        self.hit_splat = hi_s[..., None, :]            # [B,nty,ntx,1,P]
-        self.lot_splat = lo_s[..., None, :]
+        if share_from is not None:
+            s = share_from
+            if (s.bhw, s.t, s.gc, s.k_sp) != (self.bhw, t, gc, k_sp):
+                raise ValueError('share_from grid has different '
+                                 'geometry (imgs/sxy/srgb/cell_mult '
+                                 'must match)')
+            self.hl = s.hl
+            self.hit_splat = s.hit_splat
+            self.lot_splat = s.lot_splat
+            self.wsp = s.wsp
+            self.blur_sp = s.blur_sp
+            self.taps_col = s.taps_col
+        else:
+            # hi/lo color-cell indices per pixel, tile-major; pad pixels
+            # point at cell 0 with zero value/weight so they never
+            # contribute
+            imgp = jnp.pad(
+                imgs.astype(jnp.float32),
+                ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
+            cell_idx = jnp.clip(jnp.round(imgp / (srgb * cell_mult)
+                                          ).astype(jnp.int32), 0, gc - 1)
+            # slice factorization: hi = (cr,cg) row index, lo = cb;
+            # splat factorization: lo = cr (major axis, so partials
+            # land in m-order), hi = (cg,cb).  All four index maps ride
+            # ONE tile transpose (four separate _tile calls measured as
+            # avoidable fixed cost).
+            idx4 = jnp.stack(
+                [cell_idx[..., 0] * gc + cell_idx[..., 1],   # slice hi
+                 cell_idx[..., 2],                           # slice lo
+                 cell_idx[..., 1] * gc + cell_idx[..., 2],   # splat hi
+                 cell_idx[..., 0]], axis=-1)                 # splat lo
+            idx4 = self._tile(idx4)                    # [B,nty,ntx,P,4]
+            self.hl = idx4[..., :2]                    # [B,nty,ntx,P,2]
+            self.hit_splat = idx4[..., 2][..., None, :]
+            self.lot_splat = idx4[..., 3][..., None, :]
 
+            # spatial-bilinear corner weights: constant across
+            # tiles/images
+            fy = (np.arange(t, dtype=np.float32) % t) / t
+            wy = np.stack([1.0 - fy, fy], 1)           # [t, 2]
+            wsp = np.einsum('ya,xb->yxab', wy, wy).reshape(t * t, 4)
+            if self.p != t * t:
+                wsp = np.pad(wsp, ((0, self.p - t * t), (0, 0)))
+            self.wsp = jnp.asarray(wsp)                # [P, 4]
+
+            # ALL blur passes are band-matrix matmuls: the per-axis dims
+            # (Gy, Gx, gc) are tiny, so exact blurs ride the MXU instead
+            # of shift/pad passes over the whole grid (a Pallas shift
+            # kernel measured 4.8 ms vs ~1 ms for the einsum form).
+            # Spatial sigma in cell units: the target kernel is sxy =
+            # k_sp cells wide, minus the bilinear splat+slice variance
+            # (1/6+1/6 per axis); the band radius tracks the sigma
+            # (cells can be a fraction of sxy so the blur may span many
+            # cells)
+            gy, gx = self.nty + 1, self.ntx + 1
+            sig_sp = float(np.sqrt(self.k_sp ** 2 - 1.0 / 3.0))
+            rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
+            self.blur_sp = jnp.asarray(
+                np.kron(_band_mat(gy, sig_sp, rad_sp),
+                        _band_mat(gx, sig_sp, rad_sp)).astype(np.float32),
+                jnp.bfloat16)
+            self.taps_col = _blur_taps(sig_col)
+        self._sig_col = sig_col
+
+        # --- channel-dependent structure (never shared) ---------------
         # lane -> lo map for the slice kernel's corner-major slab layout
         self.lanelo_slice = jnp.asarray(
             np.tile(np.arange(gc).repeat(c), 4)[None], jnp.int32)
@@ -489,53 +552,17 @@ class MXUBilateralGrid:
                 for cc in range(c):
                     rsum[q * gc * c + l * c + cc, q * c + cc] = 1.0
         self.rsum = jnp.asarray(rsum, jnp.bfloat16)
-
-        # spatial-bilinear corner weights: constant across tiles/images
-        fy = (np.arange(t, dtype=np.float32) % t) / t
-        wy = np.stack([1.0 - fy, fy], 1)               # [t, 2]
-        wsp = np.einsum('ya,xb->yxab', wy, wy).reshape(t * t, 4)
-        if self.p != t * t:
-            wsp = np.pad(wsp, ((0, self.p - t * t), (0, 0)))
-        self.wsp = jnp.asarray(wsp)                    # [P, 4]
-
-        # ALL blur passes are band-matrix matmuls: the per-axis dims
-        # (Gy, Gx, gc) are tiny, so exact blurs ride the MXU instead of
-        # shift/pad passes over the whole grid (a Pallas shift kernel
-        # measured 4.8 ms vs ~1 ms for the einsum form)
-        gy, gx = self.nty + 1, self.ntx + 1
-
-        def band(n, sigma, radius):
-            m_ = np.zeros((n, n))
-            d = np.exp(-0.5 * (np.arange(-radius, radius + 1)
-                               / sigma) ** 2)
-            for off in range(-radius, radius + 1):
-                if abs(off) < n:
-                    m_ += np.diag(np.full(n - abs(off), d[off + radius]),
-                                  k=off)
-            return m_
-
-        # spatial sigma in cell units: the target kernel is sxy = k_sp
-        # cells wide, minus the bilinear splat+slice variance (1/6+1/6
-        # per axis); the band radius tracks the sigma (cells can be a
-        # fraction of sxy so the blur may span many cells)
-        sig_sp = float(np.sqrt(self.k_sp ** 2 - 1.0 / 3.0))
-        rad_sp = max(2, int(np.ceil(3.0 * sig_sp)))
-        self.blur_sp = jnp.asarray(
-            np.kron(band(gy, sig_sp, rad_sp),
-                    band(gx, sig_sp, rad_sp)).astype(np.float32),
-            jnp.bfloat16)
-        self.taps_col = _blur_taps(sig_col)
         # large color cubes exceed the per-cell VMEM budget of the Pallas
         # color blur; fall back to band-matrix einsums (slower at common
         # sizes — 9.5 vs 4.8 ms — but bounded memory)
         self.color_blur_einsum = gc ** 3 * c > 1_000_000
         if self.color_blur_einsum:
             self.blur_rg = jnp.asarray(
-                np.kron(band(gc, sig_col, _BLUR_RADIUS),
-                        band(gc, sig_col, _BLUR_RADIUS)).astype(
+                np.kron(_band_mat(gc, sig_col, _BLUR_RADIUS),
+                        _band_mat(gc, sig_col, _BLUR_RADIUS)).astype(
                     np.float32), jnp.bfloat16)
             self.blur_b = jnp.asarray(
-                band(gc, sig_col, _BLUR_RADIUS).astype(np.float32),
+                _band_mat(gc, sig_col, _BLUR_RADIUS).astype(np.float32),
                 jnp.bfloat16)
         # fuse the color blur into the combine kernel when four whole
         # [gc, HIP, 4C] partials (double-buffered) fit VMEM: one fewer

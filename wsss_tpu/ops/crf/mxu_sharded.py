@@ -130,8 +130,11 @@ def mean_field_sharded(probs: Array, img: Array, config, mesh: Mesh,
             # (normalizers alone only fix the denominator).
             msg = 0.
             if cfg_kw['g_compat']:
+                # bf16 operands to match _mean_field_mxu's gaussian
+                # (the parity test compares the two paths at atol 2e-2)
                 m = n_g * _gaussian_filter_raw(n_g * q_e * v_e,
-                                               cfg_kw['g_sxy'])
+                                               cfg_kw['g_sxy'],
+                                               dtype=jnp.bfloat16)
                 if exclude_self:
                     m = m - (n_g * n_g) * q_e
                 msg = msg + cfg_kw['g_compat'] * m

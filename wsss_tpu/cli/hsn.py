@@ -93,6 +93,14 @@ def main(argv=None):
     for b in batches:
         pred = np.asarray(seg.segment_batch(b.images, mesh=mesh))
         if b.gt is not None:
+            if pred.shape[1:] != b.gt.shape[1:]:
+                # eval at native GT resolution (03c_hsn/demo.py:233-269
+                # compares against the full-size masks)
+                import jax
+                pred = np.asarray(jax.image.resize(
+                    jnp.asarray(pred, jnp.float32)[..., None],
+                    (pred.shape[0],) + b.gt.shape[1:] + (1,),
+                    'nearest'))[..., 0].astype(np.int32)
             conf = metrics.accumulate_confusion(
                 conf, jnp.asarray(pred), jnp.asarray(b.gt),
                 spec.n_seg_classes)

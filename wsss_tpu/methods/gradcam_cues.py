@@ -43,7 +43,13 @@ def _normalizer(norm):
 
 
 class _ClassifierHandle:
-    """A classifier + its calibrated thresholds + static Grad-CAM weights."""
+    """A classifier + its calibrated thresholds + static Grad-CAM weights.
+
+    WSSS_TPU_BF16_INFER=1 (handled in models.build_classifier) makes
+    every layer compute in bfloat16 — the conv stage then runs at the
+    MXU's bf16 rate (~2x f32; f32 measured 0.33 MFU at the bench
+    config).  Opt-in: the reference calibrates thresholds in f32 and
+    borderline cue pixels can flip."""
 
     def __init__(self, model, variables, thresholds, input_size: int):
         self.model = model

@@ -196,12 +196,22 @@ class MVariantClassifier(nn.Module):
 
 
 def build_classifier(model_type: str, num_classes: int,
-                     dtype: Dtype = jnp.float32, batchnorm: bool = True):
+                     dtype: Dtype = None, batchnorm: bool = True):
     """Factory matching the reference's model tags
     (01_train/demo.py:24): 'VGG16'/'VGG16fg' (no bn) / 'VGG16fg_bn',
     'M1'..'M7', 'X1.7' (= M7 trunk, 51-way head on ADP,
     03b_irn/net/m7_cam.py:16-18).
+
+    dtype: per-layer COMPUTE dtype (params stay f32).  Defaults to f32;
+    WSSS_TPU_BF16_INFER=1 flips the default to bfloat16 — the conv
+    stage then runs at the MXU's bf16 rate (~2x f32).  Opt-in because
+    the reference pipeline is f32 end to end and borderline cue pixels
+    can flip under bf16 activations.
     """
+    if dtype is None:
+        import os
+        dtype = (jnp.bfloat16 if os.environ.get('WSSS_TPU_BF16_INFER')
+                 else jnp.float32)
     mt = model_type.upper()
     if mt.startswith('VGG16'):
         bn = batchnorm if mt in ('VGG16', 'VGG16FG_BN') else False

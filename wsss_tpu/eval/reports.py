@@ -4,10 +4,11 @@ confusion heatmaps, and the cross-method results aggregator.
 Covers the reference's outputs: colorized prediction PNGs + overlays
 (02_cues/demo.py:466-477, make_sem_seg_labels.py:121-140), per-class IoU
 csv (eval_cam.py:110-111, eval_sem_seg.py:60-61), metric tables
-(01_train/utilities.py:181-222 — xlsx there, csv here: openpyxl is not in
-this image and csv is what scripts/extract_eval.py parses anyway),
+(01_train/utilities.py:181-222 — csv + a reference-schema xlsx sibling
+via the stdlib writer in :mod:`wsss_tpu.eval.xlsx`),
 confusion heatmaps (01_train/utilities.py:223-284, 03a model.py:746-779),
-and scripts/extract_eval.py:1-100 (the method x dataset mIoU table).
+and scripts/extract_eval.py:1-100 (the method x dataset mIoU table,
+aggregating both csv and reference xlsx outputs).
 """
 from __future__ import annotations
 
@@ -17,6 +18,8 @@ import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+
+from wsss_tpu.eval import xlsx
 
 
 def colorize(labels: np.ndarray, palette: np.ndarray,
@@ -73,7 +76,12 @@ def save_color_and_overlay(out_dir: str, name: str, labels: np.ndarray,
 def write_iou_csv(path: str, class_names: Sequence[str], iou: np.ndarray,
                   precision: Optional[np.ndarray] = None,
                   recall: Optional[np.ndarray] = None) -> float:
-    """Per-class IoU (+P/R) csv with a final mIoU row; returns mIoU."""
+    """Per-class IoU (+P/R) csv with a final mIoU row; returns mIoU.
+
+    Also writes a sibling `.xlsx` in the reference's `df.to_excel` schema
+    (Class/IoU[/Precision/Recall] columns + 'Mean' row,
+    03a_sec-dsrg/model.py:740-745, 03c_hsn/demo.py:233-238) so
+    pandas-based reference consumers parse our outputs unchanged."""
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     miou = float(np.nanmean(iou))
     with open(path, 'w', newline='') as f:
@@ -88,13 +96,24 @@ def write_iou_csv(path: str, class_names: Sequence[str], iou: np.ndarray,
                         f'{float(recall[i]):.5f}']
             w.writerow(row)
         w.writerow(['miou', f'{miou:.5f}'])
+    table = {'Class': list(class_names) + ['Mean'],
+             'IoU': [float(v) for v in iou] + [miou]}
+    if precision is not None:
+        table['Precision'] = [float(v) for v in precision] + \
+            [float(np.nanmean(precision))]
+        table['Recall'] = [float(v) for v in recall] + \
+            [float(np.nanmean(recall))]
+    xlsx.write_table_xlsx(os.path.splitext(path)[0] + '.xlsx', table)
     return miou
 
 
 def write_metrics_csv(path: str, class_names: Sequence[str],
                       metrics: Dict[str, np.ndarray]) -> None:
     """Thresholded classification metrics table
-    (01_train/utilities.py:181-222 semantics, csv format)."""
+    (01_train/utilities.py:181-222 semantics, csv format).
+
+    Also writes the reference's xlsx layout alongside (HTT column,
+    per-metric columns, 'Average' row — utilities.py:181-193)."""
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     with open(path, 'w', newline='') as f:
         w = csv.writer(f)
@@ -102,6 +121,10 @@ def write_metrics_csv(path: str, class_names: Sequence[str],
         for i, name in enumerate(class_names):
             w.writerow([name] + [f'{float(v[i]):.5f}'
                                  for v in metrics.values()])
+    table = {'HTT': list(class_names) + ['Average']}
+    for key, vals in metrics.items():
+        table[key] = [float(v) for v in vals] + [float(np.nanmean(vals))]
+    xlsx.write_table_xlsx(os.path.splitext(path)[0] + '.xlsx', table)
 
 
 def confusion_heatmap(path: str, conf: np.ndarray,
@@ -161,17 +184,31 @@ def plot_rocs(path: str, target: np.ndarray, scores: np.ndarray,
 def extract_eval(eval_root: str) -> List[Dict[str, str]]:
     """Aggregate all `*_iou.csv` mIoU rows under eval_root into one table
     (scripts/extract_eval.py:1-100).  Returns list of
-    {method, run, miou} rows, printed as a DataFrame by the CLI."""
+    {method, run, miou} rows, printed as a DataFrame by the CLI.
+
+    Also aggregates reference-format xlsx metric tables (the Class/IoU +
+    'Mean'-row layout `df.to_excel` emits, read at extract_eval.py:20-25,
+    93-96), so a mixed tree of our csv outputs and reference xlsx outputs
+    collates into one table.  Our own `.xlsx` siblings of `_iou.csv`
+    files are skipped to avoid double counting."""
     rows = []
     for dirpath, _, files in os.walk(eval_root):
-        for fn in files:
-            if not fn.endswith('_iou.csv'):
-                continue
-            with open(os.path.join(dirpath, fn)) as f:
-                for line in f:
-                    m = re.match(r'miou,([0-9.]+)', line.strip())
-                    if m:
-                        rel = os.path.relpath(dirpath, eval_root)
-                        rows.append({'run': os.path.join(rel, fn),
-                                     'miou': m.group(1)})
+        present = set(files)
+        for fn in sorted(files):
+            rel = os.path.relpath(dirpath, eval_root)
+            if fn.endswith('_iou.csv'):
+                with open(os.path.join(dirpath, fn)) as f:
+                    for line in f:
+                        m = re.match(r'miou,([0-9.]+)', line.strip())
+                        if m:
+                            rows.append({'run': os.path.join(rel, fn),
+                                         'miou': m.group(1)})
+            elif fn.endswith('.xlsx') and not fn.startswith('~'):
+                stem = os.path.splitext(fn)[0]
+                if stem + '.csv' in present:   # our own csv sibling
+                    continue
+                miou = xlsx.table_mean_value(os.path.join(dirpath, fn))
+                if miou is not None:
+                    rows.append({'run': os.path.join(rel, fn),
+                                 'miou': f'{miou:.5f}'})
     return rows

@@ -612,6 +612,35 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
 @functools.partial(
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
+                     'iterations', 'exclude_self', 'interpret',
+                     'cell_mult'))
+def _mean_field_mxu1(probs: Array, img: Array, **kw) -> Array:
+    """Single-image MXU mean field: batch-dim expand and squeeze live
+    INSIDE the jit.  Dispatching `_mean_field_mxu(probs[None], ...)[0]`
+    from the host issues 3 extra device ops per image (broadcast_in_dim,
+    dynamic_slice, squeeze), each paying the tunnel round trip — measured
+    ~4 ms/call of host-side overhead at the bench config."""
+    return _mean_field_mxu(probs[None], img[None], **kw)[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
+                     'iterations', 'exclude_self', 'interpret',
+                     'cell_mult'))
+def _mean_field_mxu_at(probs: Array, imgs: Array, idx, **kw) -> Array:
+    """One image of a batched chain, selected by a TRACED index so the
+    whole per-image step (slice included) is a single device dispatch;
+    idx must be passed as a numpy scalar (a Python int would recompile
+    per image)."""
+    p = jax.lax.dynamic_index_in_dim(probs, idx, 0, keepdims=True)
+    i = jax.lax.dynamic_index_in_dim(imgs, idx, 0, keepdims=True)
+    return _mean_field_mxu(p, i, **kw)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
                      'iterations', 'exclude_self'))
 def _mean_field_single(probs: Array, img: Array, *, g_sxy, g_compat,
                        bi_sxy, bi_srgb, bi_compat, iterations,
@@ -678,18 +707,16 @@ def mean_field(probs: Array, img: Array, config,
         mkw = dict(kw, interpret=_MXU_FORCE_INTERPRET,
                    cell_mult=MXU_CELL_MULT)
         if probs.ndim == 3:
-            return _mean_field_mxu(probs[None], img[None], **mkw)[0]
+            return _mean_field_mxu1(probs, img, **mkw)
         # per-image dispatch chains: the kernels already saturate the
         # chip at B=1, and batching inflates the HBM working set (~15x
         # the image in splat partials) — measured 12.6 img/s at B=1 vs
         # 8.9 img/s at B=4 on v5e.  Async dispatch overlaps the chain.
         b = probs.shape[0]
-        chunk = 1
-        if b <= chunk:
+        if b == 1:
             return _mean_field_mxu(probs, img, **mkw)
-        outs = [_mean_field_mxu(probs[s0:s0 + chunk], img[s0:s0 + chunk],
-                                **mkw)
-                for s0 in range(0, b, chunk)]
+        outs = [_mean_field_mxu_at(probs, img, np.int32(s0), **mkw)
+                for s0 in range(b)]
         return jnp.concatenate(outs, axis=0)
     if probs.ndim == 3:
         return _mean_field_single(probs, img, **kw)

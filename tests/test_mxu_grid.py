@@ -108,6 +108,43 @@ def test_mxu_filter_matches_numpy_oracle(hw, t, srgb, c):
                                    atol=2e-2)
 
 
+def test_v2_matches_v1_interpret(monkeypatch):
+    """The corner-tiled v2 kernels are a layout variant of the same
+    math as v1; interpret mode runs v1 by default (6x faster there), so
+    this test forces v2 on a tiny config and pins v2 == v1."""
+    rng = np.random.default_rng(3)
+    imgs = rng.uniform(0, 255, (1, 13, 17, 3)).astype(np.float32)
+    x = rng.uniform(0, 1, (1, 13, 17, 3)).astype(np.float32)
+
+    g1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 3,
+                                   interpret=True)
+    assert not g1.v2
+    want = np.asarray(g1.filter(jnp.asarray(x)))
+
+    monkeypatch.setattr(mxu_grid, 'FORCE_V2_INTERPRET', True)
+    g2 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 3,
+                                   interpret=True)
+    assert g2.v2
+    got = np.asarray(g2.filter(jnp.asarray(x)))
+
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-2)
+
+    # the C=1 normalizer shares geometry with the message grid; the
+    # sharing pair must agree on the layout (meanfield share_from path)
+    gn = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 1,
+                                   interpret=True, share_from=g2)
+    assert gn.v2
+    ones = jnp.ones((1, 13, 17, 1), jnp.float32)
+    n2 = np.asarray(gn.filter(ones))
+    gn1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 1,
+                                    interpret=True, share_from=g1)
+    assert not gn1.v2
+    n1 = np.asarray(gn1.filter(ones))
+    nscale = np.abs(n1).max() + 1e-6
+    np.testing.assert_allclose(n2 / nscale, n1 / nscale, atol=2e-2)
+
+
 def test_applicable():
     assert mxu_grid.applicable(40.0, 13.0)      # bench config
     assert mxu_grid.applicable(80.0, 13.0)      # SEC/DSRG test config

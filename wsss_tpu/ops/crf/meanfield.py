@@ -627,14 +627,14 @@ def _mean_field_mxu1(probs: Array, img: Array, **kw) -> Array:
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
                      'iterations', 'exclude_self', 'interpret',
-                     'cell_mult'))
-def _mean_field_mxu_at(probs: Array, imgs: Array, idx, **kw) -> Array:
-    """One image of a batched chain, selected by a TRACED index so the
-    whole per-image step (slice included) is a single device dispatch;
-    idx must be passed as a numpy scalar (a Python int would recompile
-    per image)."""
-    p = jax.lax.dynamic_index_in_dim(probs, idx, 0, keepdims=True)
-    i = jax.lax.dynamic_index_in_dim(imgs, idx, 0, keepdims=True)
+                     'cell_mult', 'k'))
+def _mean_field_mxu_at(probs: Array, imgs: Array, idx, k=1, **kw) -> Array:
+    """A k-image chunk of a batched chain, selected by a TRACED index so
+    the whole per-chunk step (slice included) is a single device
+    dispatch; idx must be passed as a numpy scalar (a Python int would
+    recompile per chunk)."""
+    p = jax.lax.dynamic_slice_in_dim(probs, idx, k, 0)
+    i = jax.lax.dynamic_slice_in_dim(imgs, idx, k, 0)
     return _mean_field_mxu(p, i, **kw)
 
 
@@ -708,15 +708,23 @@ def mean_field(probs: Array, img: Array, config,
                    cell_mult=MXU_CELL_MULT)
         if probs.ndim == 3:
             return _mean_field_mxu1(probs, img, **mkw)
-        # per-image dispatch chains: the kernels already saturate the
-        # chip at B=1, and batching inflates the HBM working set (~15x
-        # the image in splat partials) — measured 12.6 img/s at B=1 vs
-        # 8.9 img/s at B=4 on v5e.  Async dispatch overlaps the chain.
+        # chunk-of-2 dispatch chains: with the v2 corner-tiled kernels
+        # the device program is ~8 ms while the per-dispatch host/tunnel
+        # gap is ~6 ms, so pairing images amortizes the dispatch
+        # (measured 83.4 img/s at B=2 vs 70.7 at B=1 vs 77.6 at B=4 —
+        # larger batches re-inflate the HBM working set).  Wide-channel
+        # configs fall back to the v1 kernels where B=1 measured best.
         b = probs.shape[0]
-        if b == 1:
+        chunk = 2 if (b > 1 and probs.shape[-1] <= 32) else 1
+        if b <= chunk:
             return _mean_field_mxu(probs, img, **mkw)
-        outs = [_mean_field_mxu_at(probs, img, np.int32(s0), **mkw)
-                for s0 in range(b)]
+        outs = [_mean_field_mxu_at(probs, img, np.int32(s0), k=chunk,
+                                   **mkw)
+                for s0 in range(0, b - b % chunk, chunk)]
+        if b % chunk:
+            outs.append(_mean_field_mxu_at(probs, img,
+                                           np.int32(b - b % chunk),
+                                           k=b % chunk, **mkw))
         return jnp.concatenate(outs, axis=0)
     if probs.ndim == 3:
         return _mean_field_single(probs, img, **kw)

@@ -86,6 +86,18 @@ def _spatial_cell(sxy: float, require8: bool = True):
 
 _PCH = 512          # pixels per matmul chunk, slice kernel (VMEM-driven)
 
+# escape hatch: force the v1 (packed-corner) kernels for A/B measurement
+import os as _os
+_V2_DISABLED = _os.environ.get('WSSS_TPU_MXU_V1', '') not in ('', '0')
+
+# Interpret mode (CPU tests / the virtual-mesh dryrun) simulates every
+# grid step in Python, and the v2 kernels' 512-lane masks cost ~6x v1
+# there (measured: the 2-shard sharded-CRF parity test 60 -> 354 s).
+# v1 and v2 are layout variants of the same math, so interpret-mode
+# callers run v1; the dedicated tiny parity test flips this flag to pin
+# v2 == v1 (tests/test_mxu_grid.py::test_v2_matches_v1_interpret).
+FORCE_V2_INTERPRET = False
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -235,6 +247,131 @@ def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, oht_ref,
             ).astype(jnp.bfloat16)
 
 
+def _splat_kernel_v2(hit2_ref, crt_ref, cblos_ref, xt_ref, wsp_ref,
+                     out_ref, oht_ref, wv_ref, *, n_ch, lb, h2p):
+    """Per-tile splat partial in the corner-tiled v2 layout:
+
+        out[cr, hi2, q*128 + j*32 + c] =
+            sum_p w[p,q] 1[cr(p)=cr] 1[hi2(p)=hi2] 1[cblo(p)=j] x[p,c]
+
+    hi2 = cg*ceil(gc/4) + cb//4 and j = cb%4: the cb axis is split so
+    each spatial corner q occupies EXACTLY one 128-lane tile (4 cb-lo
+    slots x 32 channel lanes).  The v1 layout packs corners as 4C=84
+    lanes inside one padded 128-lane tile, so the combine stencil must
+    read whole partials 4x over (~340 MB/iter at the bench config);
+    here the combine fetches only its corner's lane tile (4x less).
+
+    hit2/crt: [1,1,1,1,P] int32 lane-major; cblos: [1,1,1,P,1] int32
+    sublane-major (per-pixel rows for the wv lane masks); xt: [1,t,t,C]
+    fetched from image layout; wsp: [P,4]; out: [1,1,1,lb,h2p,512] bf16;
+    oht: [h2p,P] bf16 scratch; wv: [P,512] bf16 scratch.
+    """
+    l0 = pl.program_id(3) * lb
+
+    @pl.when(pl.program_id(3) == 0)
+    def _():
+        t, c = xt_ref.shape[1], xt_ref.shape[3]
+        p = wsp_ref.shape[0]
+        x = xt_ref[0].reshape(t * t, c)        # [t*t, C]
+        if p != t * t:
+            x = jnp.concatenate(
+                [x, jnp.zeros((p - t * t, c), x.dtype)], axis=0)
+        if c != 32:
+            x = jnp.concatenate(
+                [x, jnp.zeros((p, 32 - c), x.dtype)], axis=1)
+        x512 = jnp.concatenate([x] * 16, axis=1)          # [P, 512]
+        # per-lane corner weight: lane//128 -> wsp column (slices come
+        # straight from the ref: slicing a loaded vector into a
+        # broadcast trips a Mosaic layout bug)
+        w512 = jnp.concatenate(
+            [jnp.broadcast_to(wsp_ref[:, q:q + 1], (p, 128))
+             for q in range(4)], axis=1)                  # [P, 512]
+        j512 = (jax.lax.broadcasted_iota(jnp.int32, (p, 512), 1)
+                % 128) // 32
+        jm = (cblos_ref[0, 0, 0] == j512).astype(jnp.float32)
+        wv_ref[...] = (x512 * w512 * jm).astype(jnp.bfloat16)
+        hit2 = hit2_ref[0, 0, 0]               # [1, P]
+        oht_ref[...] = (jax.lax.broadcasted_iota(
+            jnp.int32, oht_ref.shape, 0) == hit2).astype(jnp.bfloat16)
+
+    crt = crt_ref[0, 0, 0]                     # [1, P]
+    h2 = oht_ref.shape[0]
+    if lb % 4 == 0:
+        for d4 in range(lb // 4):
+            ohtm4 = jnp.concatenate(
+                [oht_ref[...]
+                 * (crt == l0 + 4 * d4 + q).astype(jnp.bfloat16)
+                 for q in range(4)], axis=0)   # [4*h2p, P]
+            res = jnp.dot(ohtm4, wv_ref[...],
+                          preferred_element_type=jnp.float32)
+            out_ref[0, 0, 0, 4 * d4:4 * d4 + 4] = res.reshape(
+                4, h2, res.shape[-1]).astype(jnp.bfloat16)
+    else:
+        for dl in range(lb):
+            ohtm = oht_ref[...] * (crt == l0 + dl).astype(jnp.bfloat16)
+            out_ref[0, 0, 0, dl] = jnp.dot(
+                ohtm, wv_ref[...], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+
+def _combine_blur_kernel_v2(p00_ref, p01_ref, p10_ref, p11_ref, out_ref,
+                            cube_ref, *, gc, gcp4, nty, ntx, taps):
+    """Fused quadrant combine + color blur on the v2 cube layout
+    [cr, R=(cg*gcp4 + cb//4), L=(cb%4)*32 + c].
+
+    The corner extraction is done by the BlockSpecs (each p?? block is
+    its corner's 128-lane tile), so the fold is 4 plain adds — no lane
+    slicing.  The cb blur decomposes into aligned 32-lane shifts plus
+    carry terms that step the R axis by one cbhi row (masked at the cg
+    group boundary).
+
+    p??: [1,1,1,gc,h2p,128] bf16; out: [1,1,1,gc,h2p,128] bf16;
+    cube: [gc,h2p,128] f32 scratch.
+    """
+    sy = pl.program_id(1)
+    sx = pl.program_id(2)
+    acc = jnp.zeros(cube_ref.shape, jnp.float32)
+    for (dy, dx), ref in (((0, 0), p11_ref), ((0, 1), p10_ref),
+                          ((1, 0), p01_ref), ((1, 1), p00_ref)):
+        ty, tx = sy - 1 + dy, sx - 1 + dx
+        valid = ((ty >= 0) & (ty <= nty - 1) & (tx >= 0)
+                 & (tx <= ntx - 1))
+        acc = acc + jnp.where(valid, ref[0, 0, 0].astype(jnp.float32),
+                              0.0)
+    cube_ref[...] = acc
+
+    x = cube_ref[...]                          # [gc, h2p, 128]
+    r = _BLUR_RADIUS
+    h2p = x.shape[1]
+    cbhi = jax.lax.broadcasted_iota(jnp.int32, (h2p, 1), 0) % gcp4
+    hi_edge = (cbhi < gcp4 - 1).astype(jnp.float32)   # +carry row mask
+    lo_edge = (cbhi > 0).astype(jnp.float32)          # -carry row mask
+
+    # cr: across lo planes (axis 0)
+    accx = taps[r] * x
+    for d in range(1, r + 1):
+        accx = accx + taps[r + d] * (_shift_fill(x, d, 0)
+                                     + _shift_fill(x, -d, 0))
+    x = accx
+    # cg: R-axis shifts in whole cg groups (gcp4 rows)
+    accx = taps[r] * x
+    for d in range(1, r + 1):
+        accx = accx + taps[r + d] * (_shift_fill(x, d * gcp4, 1)
+                                     + _shift_fill(x, -d * gcp4, 1))
+    x = accx
+    # cb: aligned 32-lane shifts + cbhi carries
+    accx = taps[r] * x
+    for d in range(1, r + 1):
+        up = _shift_fill(x, 32 * d, 2)
+        up = up + hi_edge * _shift_fill(
+            _shift_fill(x, 1, 1), 32 * (d - 4), 2)
+        dn = _shift_fill(x, -32 * d, 2)
+        dn = dn + lo_edge * _shift_fill(
+            _shift_fill(x, -1, 1), 32 * (4 - d), 2)
+        accx = accx + taps[r + d] * (up + dn)
+    out_ref[0, 0, 0] = accx.astype(jnp.bfloat16)
+
+
 def _combine_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref, *,
                     n_ch, gc2, nty, ntx):
     """Fold the per-tile splat partials into one [Gy, Gx] grid plane.
@@ -271,7 +408,7 @@ def _combine_kernel(p00_ref, p01_ref, p10_ref, p11_ref, out_ref, *,
 
 def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
                   g00_ref, g01_ref, g10_ref, g11_ref, out_ref, acc_ref,
-                  *, p_chunks, n_ch, hich):
+                  *, p_chunks, n_ch, hich, cq=None):
     """Per-tile slice: out[p,c] = sum_q w[p,q] G_q[cn(p), c].
 
     The hi axis is blocked over the 4th grid dim (`hich` slab rows per
@@ -315,7 +452,8 @@ def _slice_kernel(hl_ref, lanelo_ref, rsum_ref, wsp_ref,
         t = out_ref.shape[1]
         w = wsp_ref[...]                       # [P, 4]
         acc = acc_ref[...]
-        out = sum(w[:, q:q + 1] * acc[:, q * c:(q + 1) * c]
+        g = c if cq is None else cq            # acc corner-group stride
+        out = sum(w[:, q:q + 1] * acc[:, q * g:q * g + c]
                   for q in range(4))
         out_ref[0] = out[:t * t].reshape(t, t, c)
 
@@ -477,18 +615,56 @@ class MXUBilateralGrid:
                             // 16 * 16))
         self.p_chunks = _chunks(p, pch)
 
+        # v2 corner-tiled layout: cb split as (cb//4, cb%4) so every
+        # spatial corner is exactly one 128-lane tile of the partial —
+        # the combine stencil then fetches only its corner (4x less
+        # HBM read than whole-partial fetches) and the grid cube's
+        # channel lanes stop padding 21 -> 128.  Falls back to the v1
+        # kernels for wide channels or oversized VMEM blocks.
+        self.gcp4 = -(-gc // 4)
+        self.h2p = _round_up(gc * self.gcp4, 16)
+        self.lbv = 1
+        for cand in range(gc, 0, -1):
+            if gc % cand == 0 and cand * self.h2p * 512 * 2 * 2                     <= 4 * 1024 * 1024:
+                self.lbv = cand
+                break
+        self.v2 = (
+            c <= 32
+            and gc * self.h2p * 128 * (4 * 2 * 2 + 4) <= 10 * 1024 * 1024
+            and self.lbv * self.h2p * 512 * 2 * 2 <= 4 * 1024 * 1024
+            and (not interpret or FORCE_V2_INTERPRET)
+            and not _V2_DISABLED)
+        if self.v2:
+            self.hipv = gc * self.h2p
+            self.hichv = 16
+            for cand in range(self.hipv, 15, -16):
+                if self.hipv % cand == 0 and cand * 512 * 2 * 4 * 2                         <= 4 * 1024 * 1024:
+                    self.hichv = cand
+                    break
+            pchv = min(_PCH, max(16, (4 * 1024 * 1024 // (512 * 6))
+                                 // 16 * 16))
+            self.p_chunks_v2 = _chunks(p, pchv)
+
         if share_from is not None:
             s = share_from
             if (s.bhw, s.t, s.gc, s.k_sp) != (self.bhw, t, gc, k_sp):
                 raise ValueError('share_from grid has different '
                                  'geometry (imgs/sxy/srgb/cell_mult '
                                  'must match)')
+            # the index tensors are layout-specific: a sharing pair must
+            # agree on v1/v2 (the C=1 normalizer always can, c=1 <= 32)
+            self.v2 = self.v2 and s.v2
             self.hl = s.hl
             self.hit_splat = s.hit_splat
             self.lot_splat = s.lot_splat
             self.wsp = s.wsp
             self.blur_sp = s.blur_sp
             self.taps_col = s.taps_col
+            if self.v2:
+                self.hl2 = s.hl2
+                self.hit2_splat = s.hit2_splat
+                self.crt_splat = s.crt_splat
+                self.cblos_splat = s.cblos_splat
         else:
             # hi/lo color-cell indices per pixel, tile-major; pad pixels
             # point at cell 0 with zero value/weight so they never
@@ -498,20 +674,32 @@ class MXUBilateralGrid:
                 ((0, 0), (0, self.hp - h), (0, self.wp - w), (0, 0)))
             cell_idx = jnp.clip(jnp.round(imgp / (srgb * cell_mult)
                                           ).astype(jnp.int32), 0, gc - 1)
-            # slice factorization: hi = (cr,cg) row index, lo = cb;
-            # splat factorization: lo = cr (major axis, so partials
-            # land in m-order), hi = (cg,cb).  All four index maps ride
-            # ONE tile transpose (four separate _tile calls measured as
-            # avoidable fixed cost).
-            idx4 = jnp.stack(
-                [cell_idx[..., 0] * gc + cell_idx[..., 1],   # slice hi
-                 cell_idx[..., 2],                           # slice lo
-                 cell_idx[..., 1] * gc + cell_idx[..., 2],   # splat hi
-                 cell_idx[..., 0]], axis=-1)                 # splat lo
-            idx4 = self._tile(idx4)                    # [B,nty,ntx,P,4]
-            self.hl = idx4[..., :2]                    # [B,nty,ntx,P,2]
-            self.hit_splat = idx4[..., 2][..., None, :]
-            self.lot_splat = idx4[..., 3][..., None, :]
+            # v1 slice factorization: hi = (cr,cg) row index, lo = cb;
+            # v1 splat factorization: lo = cr (major axis, so partials
+            # land in m-order), hi = (cg,cb).  v2 factorization (both
+            # phases): lo-plane = cr, rows hi2 = (cg, cb//4), lanes
+            # cblo = cb%4.  All index maps ride ONE tile transpose
+            # (separate _tile calls measured as avoidable fixed cost).
+            cr_, cg_, cb_ = (cell_idx[..., 0], cell_idx[..., 1],
+                             cell_idx[..., 2])
+            hi2_ = cg_ * self.gcp4 + cb_ // 4
+            idx6 = jnp.stack(
+                [cr_ * gc + cg_,                             # slice hi
+                 cb_,                                        # slice lo
+                 cg_ * gc + cb_,                             # splat hi
+                 cr_,                                        # splat lo
+                 cr_ * self.h2p + hi2_,                      # v2 slice hi
+                 cb_ % 4], axis=-1)                          # v2 lo
+            idx6 = self._tile(idx6)                    # [B,nty,ntx,P,6]
+            self.hl = idx6[..., :2]                    # [B,nty,ntx,P,2]
+            self.hit_splat = idx6[..., 2][..., None, :]
+            self.lot_splat = idx6[..., 3][..., None, :]
+            self.hl2 = idx6[..., 4:6]                  # [B,nty,ntx,P,2]
+            # v2 splat hi2 (per-cr rows) derived from the v2 slice hi
+            self.hit2_splat = (idx6[..., 4]
+                               - idx6[..., 3] * self.h2p)[..., None, :]
+            self.crt_splat = idx6[..., 3][..., None, :]
+            self.cblos_splat = idx6[..., 5][..., :, None]
 
             # spatial-bilinear corner weights: constant across
             # tiles/images
@@ -542,6 +730,17 @@ class MXUBilateralGrid:
         self._sig_col = sig_col
 
         # --- channel-dependent structure (never shared) ---------------
+        if self.v2:
+            # v2 slice: slab lanes are (spatial corner, cblo, c32); the
+            # lane->lo map and group-sum are channel-count independent
+            self.lanelo_v2 = jnp.asarray(
+                ((np.arange(4 * 128) % 128) // 32)[None], jnp.int32)
+            rsum2 = np.zeros((4 * 128, 128), np.float32)
+            for q in range(4):
+                for j in range(4):
+                    for cc in range(32):
+                        rsum2[q * 128 + j * 32 + cc, q * 32 + cc] = 1.0
+            self.rsum_v2 = jnp.asarray(rsum2, jnp.bfloat16)
         # lane -> lo map for the slice kernel's corner-major slab layout
         self.lanelo_slice = jnp.asarray(
             np.tile(np.arange(gc).repeat(c), 4)[None], jnp.int32)
@@ -593,9 +792,75 @@ class MXUBilateralGrid:
         return x[:, :h, :w]
 
     # -- phases --------------------------------------------------------
+    def _splat_v2(self, xp: Array) -> Array:
+        """v2: corner-tiled partial -> per-corner-fetch combine+blur.
+        Returns the blurred-color cube [B, Gy, Gx, gc*h2p*128] bf16."""
+        b, c, gc = xp.shape[0], self.n_ch, self.gc
+        t, h2p, lbv = self.t, self.h2p, self.lbv
+        kern = functools.partial(_splat_kernel_v2, n_ch=c, lb=lbv,
+                                 h2p=h2p)
+        part = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.ntx, gc // lbv),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, 1, self.p),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, 1, self.p),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, self.p, 1),
+                             lambda bb, i, j, lc: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, t, t, c),
+                             lambda bb, i, j, lc: (bb, i, j, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j, lc: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, lbv, h2p, 512),
+                                   lambda bb, i, j, lc: (bb, i, j, lc,
+                                                         0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.nty, self.ntx, gc, h2p, 512), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((h2p, self.p), jnp.bfloat16),
+                pltpu.VMEM((self.p, 512), jnp.bfloat16),
+            ],
+            interpret=self.interpret,
+        )(self.hit2_splat, self.crt_splat, self.cblos_splat, xp,
+          self.wsp)
+
+        gy, gx = self.nty + 1, self.ntx + 1
+        nty, ntx = self.nty, self.ntx
+        fkern = functools.partial(
+            _combine_blur_kernel_v2, gc=gc, gcp4=self.gcp4,
+            nty=nty, ntx=ntx, taps=self.taps_col)
+
+        def fpart_spec(dy, dx, q):
+            def imap(bb, sy, sx, dy=dy, dx=dx, q=q):
+                return (bb, jnp.clip(sy - 1 + dy, 0, nty - 1),
+                        jnp.clip(sx - 1 + dx, 0, ntx - 1), 0, 0, q)
+            return pl.BlockSpec((1, 1, 1, gc, h2p, 128), imap)
+
+        grid = pl.pallas_call(
+            fkern,
+            grid=(b, gy, gx),
+            # spec (dy,dx) reads neighbor tile (sy-1+dy, sx-1+dx)'s
+            # quadrant q = (1-dy)*2 + (1-dx) — same table as v1
+            in_specs=[fpart_spec(1, 1, 0), fpart_spec(1, 0, 1),
+                      fpart_spec(0, 1, 2), fpart_spec(0, 0, 3)],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, gc, h2p, 128),
+                lambda bb, sy, sx: (bb, sy, sx, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, gy, gx, gc, h2p, 128), jnp.bfloat16),
+            scratch_shapes=[
+                pltpu.VMEM((gc, h2p, 128), jnp.float32)],
+            interpret=self.interpret,
+        )(part, part, part, part)
+        return grid.reshape(b, gy, gx, gc * h2p * 128)
+
     def _splat(self, xp: Array) -> Array:
         """xp: [B, Hp, Wp, C] padded image-layout input (tiles are
         fetched per-block — no XLA tile transpose)."""
+        if self.v2:
+            return self._splat_v2(xp)
         b, c, gc = xp.shape[0], self.n_ch, self.gc
         t = self.t
         kern = functools.partial(_splat_kernel, n_ch=c, lb=self.lb,
@@ -689,6 +954,15 @@ class MXUBilateralGrid:
         b = grid.shape[0]
         gy, gx = self.nty + 1, self.ntx + 1
         gc, c = self.gc, self.n_ch
+        if self.v2:
+            # color axes were blurred in the combine kernel; the v2
+            # cube flattens to an UNPADDED lane width (…*128), so this
+            # reshape is a view, not the depad copy the v1 layout paid
+            w2 = gc * self.h2p * 128
+            grid = grid.reshape(b, gy * gx, w2)
+            grid = jnp.einsum('st,btf->bsf', self.blur_sp, grid,
+                              preferred_element_type=jnp.bfloat16)
+            return grid.reshape(b, gy, gx, w2)
         mc = self.m * c
         # spatial axes: one exact 2-D blur matmul over the tiny Gy*Gx dim
         grid = grid.reshape(b, gy * gx, mc)
@@ -721,7 +995,47 @@ class MXUBilateralGrid:
         )(grid)
         return grid.reshape(b, gy, gx, mc)
 
+    def _slice_v2(self, grid: Array) -> Array:
+        b, c = grid.shape[0], self.n_ch
+        gy, gx = self.nty + 1, self.ntx + 1
+        gp = grid.reshape(b, gy, gx, self.hipv, 128)
+        kern = functools.partial(_slice_kernel,
+                                 p_chunks=self.p_chunks_v2,
+                                 n_ch=c, hich=self.hichv, cq=32)
+
+        def slab_spec(by, bx):
+            return pl.BlockSpec(
+                (1, 1, 1, self.hichv, 128),
+                lambda bb, i, j, m, by=by, bx=bx: (bb, i + by, j + bx,
+                                                   m, 0))
+
+        out = pl.pallas_call(
+            kern,
+            grid=(b, self.nty, self.ntx, self.hipv // self.hichv),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, self.p, 2),
+                             lambda bb, i, j, m: (bb, i, j, 0, 0)),
+                pl.BlockSpec((1, 4 * 128),
+                             lambda bb, i, j, m: (0, 0)),
+                pl.BlockSpec((4 * 128, 128),
+                             lambda bb, i, j, m: (0, 0)),
+                pl.BlockSpec((self.p, 4), lambda bb, i, j, m: (0, 0)),
+                slab_spec(0, 0), slab_spec(0, 1),
+                slab_spec(1, 0), slab_spec(1, 1),
+            ],
+            out_specs=pl.BlockSpec((1, self.t, self.t, c),
+                                   lambda bb, i, j, m: (bb, i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct(
+                (b, self.hp, self.wp, c), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((self.p, 4 * 32), jnp.float32)],
+            interpret=self.interpret,
+        )(self.hl2, self.lanelo_v2, self.rsum_v2, self.wsp,
+          gp, gp, gp, gp)
+        return out
+
     def _slice(self, grid: Array) -> Array:
+        if self.v2:
+            return self._slice_v2(grid)
         b, c, gc = grid.shape[0], self.n_ch, self.gc
         gy, gx = self.nty + 1, self.ntx + 1
         gp = grid.reshape(b, gy, gx, gc * gc, gc * c)

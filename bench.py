@@ -177,6 +177,27 @@ def main():
     except Exception:                  # pragma: no cover
         pass
 
+    # ---- per-stage sidecar (scripts/bench_stages.py): IRN make_cam
+    # MSF, SEC predict+CRF, random walk.  Measured in a separate run so
+    # this entry point stays within the driver's timeout (each extra
+    # program risks a 2-200 s remote-compile round trip on axon);
+    # stale = HEAD moved since the sidecar was written.
+    try:
+        import pathlib
+        import subprocess
+        root = pathlib.Path(__file__).resolve().parent
+        sc = json.loads((root / 'BENCH_STAGES.json').read_text())
+        # stale only if the measured code itself changed since the
+        # sidecar's commit (doc/driver commits don't invalidate it)
+        diff = subprocess.run(
+            ['git', 'diff', '--quiet', sc.get('commit', '') + '..HEAD',
+             '--', 'wsss_tpu', 'scripts/bench_stages.py'],
+            cwd=root, capture_output=True)
+        sc['stale'] = diff.returncode != 0
+        extras['stage_benches'] = sc
+    except Exception:                  # pragma: no cover
+        pass
+
     print(json.dumps({
         'metric': 'cam_crf_pseudolabel_gen',
         'value': round(ips, 2),

@@ -4,13 +4,24 @@ Complements bench.py's headline (02_cues+CRF) with the other hot paths:
 IRN multi-scale CAM inference, SEC predict + test-time CRF (the sxy=80
 grid config), and the random-walk semantic-segmentation propagation.
 Run on the real TPU:  python scripts/bench_stages.py
+
+Also writes BENCH_STAGES.json at the repo root ({commit, stages}) so
+bench.py can embed the per-stage numbers in its extras without paying
+three more remote-compile round trips itself (the axon compile helper's
+latency is 2-200 s per program — measured — and the driver runs
+bench.py under a timeout); bench.py marks the sidecar stale if HEAD
+has moved since.
 """
 from __future__ import annotations
 
 import json
+import pathlib
+import subprocess
 import time
 
 import numpy as np
+
+_RESULTS = {}
 
 
 def _sync(out):
@@ -29,9 +40,23 @@ def bench(name, fn, n_items, iters=5, warmup=1):
         out = fn()
     _sync(out)
     dt = (time.time() - t0) / iters
+    _RESULTS[name] = round(n_items / dt, 2)
     print(json.dumps({'metric': name,
                       'value': round(n_items / dt, 2),
                       'unit': 'images/sec/chip'}))
+
+
+def _write_sidecar():
+    root = pathlib.Path(__file__).resolve().parent.parent
+    try:
+        commit = subprocess.run(
+            ['git', 'rev-parse', 'HEAD'], cwd=root, capture_output=True,
+            text=True, check=True).stdout.strip()
+    except Exception:
+        commit = 'unknown'
+    (root / 'BENCH_STAGES.json').write_text(json.dumps(
+        {'commit': commit, 'unit': 'images/sec/chip',
+         'stages': _RESULTS}, indent=1) + '\n')
 
 
 def main():
@@ -79,6 +104,8 @@ def main():
     edge = jnp.asarray(rng.uniform(0, 1, (80, 80)).astype(np.float32))
     bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
         camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
+
+    _write_sidecar()
 
 
 if __name__ == '__main__':

@@ -242,6 +242,29 @@ def test_mean_field_mxu_dispatch_matches_fast_path(monkeypatch):
     assert agree > 0.9, agree
 
 
+def test_chunk_dispatch_matches_per_image(monkeypatch):
+    """mean_field's chunk-of-2 dynamic-slice chain (with odd-batch
+    remainder) must equal per-image calls on the same inputs.  b=3
+    exercises one k=2 chunk plus the k=1 remainder; interpret mode
+    (v1 kernels) shares the chunking code with the TPU path."""
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf import meanfield
+
+    h = w = 104                      # >10240 px -> grid routing
+    cfg = crf_config.CRFConfig(1.0, 3, 16.0, 24, 10, iterations=1)
+    monkeypatch.setattr(meanfield, '_MXU_FORCE_INTERPRET', True)
+    assert meanfield._mxu_ok((h, w), 4, cfg)
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 255, (3, h, w, 3))
+                      .astype(np.float32))
+    probs = jnp.asarray(rng.dirichlet(np.ones(4), (3, h, w))
+                        .astype(np.float32))
+    got = np.asarray(meanfield.mean_field(probs, img, cfg))
+    for b in range(3):
+        want = np.asarray(meanfield.mean_field(probs[b], img[b], cfg))
+        np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
 def _ref_filter_aligned(img, x, t, srgb, cell_mult=1.0):
     """Numpy oracle for the aligned grid: nearest splat/slice into the
     containing tile's cell, sigma sqrt(4 - 1/6) spatial cells."""

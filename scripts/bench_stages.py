@@ -105,6 +105,69 @@ def main():
     bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
         camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
 
+    # --- training steps (reference trains these on GPU at ~1-5 it/s;
+    # each bench is fwd+bwd+update at the production shapes) ----------
+    try:
+        from wsss_tpu.models import build_classifier
+        from wsss_tpu.train.classifier import ClassifierTrainer
+        clf = build_classifier('VGG16', spec.n_fg_classes)
+        ctr = ClassifierTrainer(clf)
+        imgs16 = jnp.asarray(rng.uniform(-1, 1, (16, size, size, 3))
+                             .astype(np.float32))
+        tgt16 = jnp.asarray((rng.uniform(0, 1, (16, spec.n_fg_classes))
+                             > 0.8).astype(np.float32))
+        cp, cms, cos = ctr.init(jax.random.PRNGKey(0), imgs16)
+        cstep = ctr.jitted_step()
+        key = jax.random.PRNGKey(1)
+
+        def cls_step():
+            return cstep(cp, cms, cos, imgs16, tgt16, key)
+        bench('train_classifier_step', cls_step, 16)
+    except Exception as e:             # pragma: no cover
+        print(json.dumps({'metric': 'train_classifier_step',
+                          'error': type(e).__name__}))
+
+    try:
+        cues8 = np.zeros((8, 41, 41, spec.n_seg_classes), np.float32)
+        cues8[:, :10, :10, 1] = 1
+        cues8[:, 25:, 25:, 0] = 1
+        lab8 = np.zeros((8, spec.n_seg_classes), np.float32)
+        lab8[:, :2] = 1
+        imgs_raw8 = jnp.asarray(
+            rng.uniform(0, 255, (8, size, size, 3)).astype(np.float32))
+        sp, sos = tr.init(jax.random.PRNGKey(0), imgs_raw8 / 255.)
+        sstep = tr.jitted_step()
+
+        def sec_step():
+            return sstep(sp, sos, imgs_raw8 / 255., imgs_raw8,
+                         jnp.asarray(cues8), jnp.asarray(lab8),
+                         jax.random.PRNGKey(2))
+        bench('train_sec_step', sec_step, 8)
+    except Exception as e:             # pragma: no cover
+        print(json.dumps({'metric': 'train_sec_step',
+                          'error': type(e).__name__}))
+
+    try:
+        from wsss_tpu.methods import irnet
+        itr = irnet.IRNTrainer('vgg16', num_classes=spec.n_seg_classes,
+                               crop_size=size, radius=10)
+        ivars, ios = itr.init(jax.random.PRNGKey(0))
+        lab = rng.integers(0, spec.n_seg_classes,
+                           (8, size // 4, size // 4)).astype(np.int64)
+        packs = [irnet.affinity_labels(l, itr.path_index,
+                                       spec.n_seg_classes) for l in lab]
+        bg, fg, ng = (jnp.asarray(np.stack(z)) for z in zip(*packs))
+        imgs_n8 = jnp.asarray(rng.normal(0, 1, (8, size, size, 3))
+                              .astype(np.float32))
+        istep = itr.jitted_step()
+
+        def irn_step():
+            return istep(ivars, ios, imgs_n8, bg, fg, ng)
+        bench('train_irn_step', irn_step, 8)
+    except Exception as e:             # pragma: no cover
+        print(json.dumps({'metric': 'train_irn_step',
+                          'error': type(e).__name__}))
+
     _write_sidecar()
 
 

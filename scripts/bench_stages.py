@@ -105,6 +105,22 @@ def main():
     bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
         camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
 
+    # --- DeepGlobe full-resolution CRF: the reference DOWNSAMPLES
+    # DeepGlobe before every refinement (x4 ir-labels, x6 random walk,
+    # pydensecrf at ~30 s/img on CPU otherwise); here the 2448^2 dense
+    # CRF runs on-device at full resolution ---------------------------
+    try:
+        dg_cfg = crf_config.hsn_config('DeepGlobe')
+        img_dg = jnp.asarray(rng.uniform(0, 255, (2448, 2448, 3))
+                             .astype(np.float32))
+        p_dg = jnp.asarray(
+            rng.dirichlet(np.ones(7), (2448, 2448)).astype(np.float32))
+        bench('deepglobe_fullres_crf',
+              lambda: mean_field(p_dg, img_dg, dg_cfg), 1, iters=3)
+    except Exception as e:             # pragma: no cover
+        print(json.dumps({'metric': 'deepglobe_fullres_crf',
+                          'error': type(e).__name__}))
+
     # --- training steps (reference trains these on GPU at ~1-5 it/s;
     # each bench is fwd+bwd+update at the production shapes) ----------
     try:

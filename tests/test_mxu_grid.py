@@ -108,7 +108,11 @@ def test_mxu_filter_matches_numpy_oracle(hw, t, srgb, c):
                                    atol=2e-2)
 
 
-def test_v2_matches_v1_interpret(monkeypatch):
+@pytest.mark.parametrize('srgb', [
+    64.0,   # gc=5: lbv not a multiple of 4 -> per-lo splat dots
+    36.0,   # gc=8: lbv % 4 == 0 -> quad-stacked splat dots (prod shape)
+])
+def test_v2_matches_v1_interpret(monkeypatch, srgb):
     """The corner-tiled v2 kernels are a layout variant of the same
     math as v1; interpret mode runs v1 by default (6x faster there), so
     this test forces v2 on a tiny config and pins v2 == v1."""
@@ -116,15 +120,17 @@ def test_v2_matches_v1_interpret(monkeypatch):
     imgs = rng.uniform(0, 255, (1, 13, 17, 3)).astype(np.float32)
     x = rng.uniform(0, 1, (1, 13, 17, 3)).astype(np.float32)
 
-    g1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 3,
+    g1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, srgb, 3,
                                    interpret=True)
     assert not g1.v2
     want = np.asarray(g1.filter(jnp.asarray(x)))
 
     monkeypatch.setattr(mxu_grid, 'FORCE_V2_INTERPRET', True)
-    g2 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 3,
+    g2 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, srgb, 3,
                                    interpret=True)
     assert g2.v2
+    if srgb == 36.0:
+        assert g2.lbv % 4 == 0      # must exercise the quad-dot branch
     got = np.asarray(g2.filter(jnp.asarray(x)))
 
     scale = np.abs(want).max() + 1e-6
@@ -132,12 +138,12 @@ def test_v2_matches_v1_interpret(monkeypatch):
 
     # the C=1 normalizer shares geometry with the message grid; the
     # sharing pair must agree on the layout (meanfield share_from path)
-    gn = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 1,
+    gn = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, srgb, 1,
                                    interpret=True, share_from=g2)
     assert gn.v2
     ones = jnp.ones((1, 13, 17, 1), jnp.float32)
     n2 = np.asarray(gn.filter(ones))
-    gn1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, 64.0, 1,
+    gn1 = mxu_grid.MXUBilateralGrid(jnp.asarray(imgs), 4.0, srgb, 1,
                                     interpret=True, share_from=g1)
     assert not gn1.v2
     n1 = np.asarray(gn1.filter(ones))

@@ -162,6 +162,17 @@ def main():
     dt_crf = _time(crf_once, iters=4)
     extras['crf_imgs_per_sec'] = round(1.0 / dt_crf, 2)
 
+    # hardware utilization of the CRF kernels: executed one-hot-matmul
+    # MACs (NOT algorithmic flops — the factorization inflates work to
+    # ride the MXU) over measured time vs the bf16 peak
+    try:
+        from wsss_tpu.ops.crf.meanfield import mxu_macs_estimate
+        macs = mxu_macs_estimate((size, size), spec.n_seg_classes, cfg)
+        extras['crf_mxu_util'] = round(
+            2.0 * macs / dt_crf / V5E_PEAK_FLOPS, 4)
+    except Exception:                  # pragma: no cover
+        pass
+
     # ---- denominator anchor: native permutohedral CRF on this host ----
     # (the reference's pydensecrf runs the same lattice family on CPU;
     # one image at the same config anchors the ~2 img/s estimate)

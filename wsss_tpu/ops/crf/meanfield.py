@@ -609,6 +609,36 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
 # Mean-field loop
 # ---------------------------------------------------------------------------
 
+def mxu_macs_estimate(hw: Tuple[int, int], n_ch: int, config) -> int:
+    """Executed MXU MACs for ONE image of the MXU-path mean field —
+    mirrors _mean_field_mxu's geometry decisions (spatial downsample,
+    color-cell coarsening, shared-geometry C=1 normalizer, Gaussian
+    band matmuls).  With a measured time this gives hardware
+    utilization for bench reporting; only valid when _mxu_ok holds."""
+    h, w = hw
+    sxy, srgb = config.bi_sxy, config.bi_srgb
+    use_ds = (not _MXU_DS_DISABLED and sxy >= MXU_DS_MIN_SXY
+              and min(h, w) >= 2 * sxy)
+    if use_ds:
+        f = sxy / float(MXU_DS_CELL)
+        hd, wd = max(int(round(h / f)), 8), max(int(round(w / f)), 8)
+        sxy_g = float(MXU_DS_CELL)
+    else:
+        hd, wd, sxy_g = h, w, sxy
+    zeros = jnp.zeros((1, hd, wd, 3), jnp.float32)
+    g = _mxu.MXUBilateralGrid(zeros, sxy_g, srgb, n_ch,
+                              cell_mult=MXU_CELL_MULT)
+    g1 = _mxu.MXUBilateralGrid(zeros, sxy_g, srgb, 1,
+                               cell_mult=MXU_CELL_MULT, share_from=g)
+    macs = g1.mxu_macs_per_filter()           # normalizer, once
+    per_iter = g.mxu_macs_per_filter()
+    if config.g_compat:
+        # two band-matrix dots per gaussian message (meanfield
+        # gaussian_message: [H,H]@[H,W*C] + [W,W]@[W,H*C])
+        per_iter += h * h * w * n_ch + w * w * h * n_ch
+    return macs + config.iterations * per_iter
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',

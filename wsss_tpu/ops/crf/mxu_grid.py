@@ -770,6 +770,31 @@ class MXUBilateralGrid:
             not self.color_blur_einsum
             and gc * self.hip * 4 * c * 2 * 8 <= 8 * 1024 * 1024)
 
+    def mxu_macs_per_filter(self) -> int:
+        """Executed MXU MACs for one filter() call (splat one-hot dots
+        + spatial-blur matmul + slice dots).  This counts the MACs the
+        hardware RUNS — the one-hot factorization deliberately inflates
+        algorithmic work to ride the MXU — so macs / (time * peak_macs)
+        is hardware *utilization*, not an algorithmic MFU."""
+        b = self.bhw[0]
+        nt = self.nty * self.ntx
+        gg = (self.nty + 1) * (self.ntx + 1)
+        if self.v2:
+            splat = nt * self.gc * self.h2p * self.p * 512
+            blur_sp = gg * gg * self.gc * self.h2p * 128
+            hi_steps = -(-self.hipv // self.hichv)
+            slice_ = nt * self.p * (self.hipv * 512
+                                    + hi_steps * 512 * 128)
+        else:
+            c4 = 4 * self.n_ch
+            gcc4 = 4 * self.gc * self.n_ch
+            splat = nt * self.gc * self.hip * self.p * c4
+            blur_sp = gg * gg * self.m * self.n_ch
+            hi_steps = -(-self.hip // self.hich)
+            slice_ = nt * self.p * (self.hip * gcc4
+                                    + hi_steps * gcc4 * c4)
+        return b * (splat + blur_sp + slice_)
+
     # -- layout helpers ----------------------------------------------------
     def _tile(self, x: Array) -> Array:
         """[B, Hp, Wp, C] -> [B, nty, ntx, P, C] (pads P if needed)."""

@@ -105,6 +105,40 @@ def main():
     bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
         camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
 
+    # --- opt-in bf16 inference (WSSS_TPU_BF16_INFER): throughput and
+    # label agreement vs the f32 default on the HSN headline path -----
+    try:
+        import os
+        from wsss_tpu.methods.hsn import HSNSegmenter
+        fg32 = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes,
+                                           size)
+        bg32 = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes,
+                                           size, seed=1)
+        seg32 = HSNSegmenter(spec, fg32, bg32, model_type='VGG16')
+        os.environ['WSSS_TPU_BF16_INFER'] = '1'
+        try:
+            fgb = gc._ClassifierHandle.random('VGG16',
+                                              spec.n_fg_classes, size)
+            bgb = gc._ClassifierHandle.random('VGG16',
+                                              spec.n_fg_classes, size,
+                                              seed=1)
+            segb = HSNSegmenter(spec, fgb, bgb, model_type='VGG16')
+        finally:
+            os.environ.pop('WSSS_TPU_BF16_INFER', None)
+        imgs_h = jnp.asarray(rng.uniform(0, 255, (4, size, size, 3))
+                             .astype(np.float32))
+        bench('hsn_headline_bf16_infer',
+              lambda: segb.segment_batch(imgs_h), 4)
+        lab32 = np.asarray(seg32.segment_batch(imgs_h))
+        labb = np.asarray(segb.segment_batch(imgs_h))
+        agree = float((lab32 == labb).mean())
+        _RESULTS['hsn_bf16_label_agree'] = round(agree, 4)
+        print(json.dumps({'metric': 'hsn_bf16_label_agree',
+                          'value': round(agree, 4), 'unit': 'fraction'}))
+    except Exception as e:             # pragma: no cover
+        print(json.dumps({'metric': 'hsn_headline_bf16_infer',
+                          'error': type(e).__name__}))
+
     # --- DeepGlobe full-resolution CRF: the reference DOWNSAMPLES
     # DeepGlobe before every refinement (x4 ir-labels, x6 random walk,
     # pydensecrf at ~30 s/img on CPU otherwise); here the 2448^2 dense

@@ -41,6 +41,33 @@ def test_gen_cues_cli_mesh_matches_single(tmp_path, monkeypatch):
         np.testing.assert_array_equal(ca[k], cb[k])
 
 
+def test_sec_train_cli_mesh_matches_single(tmp_path, monkeypatch):
+    """dp-sharded SEC training (--mesh 2) must track the single-device
+    run: same deterministic batch order, per-step losses equal up to
+    f32 reduction order."""
+    import json
+
+    from wsss_tpu.cli import sec_dsrg
+
+    def run(sub, mesh):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        sec_dsrg.main(['--dataset', 'VOC2012', '--task', 'train',
+                       '--method', 'SEC', '--epochs', '1',
+                       '--synthetic_n', '4', '--batchsize', '2',
+                       '--img_size', '72', '--val_every', '0',
+                       '--mesh', mesh])
+        log = d / 'log' / 'SEC_VOC2012_VGG16' / 'train.jsonl'
+        rows = [json.loads(l) for l in log.read_text().splitlines()]
+        return [r['total'] for r in rows if 'total' in r]
+
+    single = run('single', 'none')
+    sharded = run('sharded', '2')
+    assert len(single) == len(sharded) == 2
+    np.testing.assert_allclose(sharded, single, rtol=2e-3)
+
+
 def test_irn_make_cam_cli_mesh(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from wsss_tpu.cli import irn

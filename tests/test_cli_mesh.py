@@ -68,6 +68,59 @@ def test_sec_train_cli_mesh_matches_single(tmp_path, monkeypatch):
     np.testing.assert_allclose(sharded, single, rtol=2e-3)
 
 
+def test_train_classifier_cli_mesh_matches_single(tmp_path, monkeypatch,
+                                                  capsys):
+    """dp-sharded classifier training (--mesh 2) must track the
+    single-device run step for step."""
+    import re
+
+    from wsss_tpu.cli import train_classifier
+
+    def run(sub, mesh):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        train_classifier.main(
+            ['--dataset', 'VOC2012', '--task', 'train', '--epochs', '1',
+             '--synthetic_n', '4', '--batchsize', '2', '--img_size',
+             '32', '--no_aug', '--verbose', '--mesh', mesh])
+        out = capsys.readouterr().out
+        return [float(m) for m in re.findall(r'loss ([0-9.]+)', out)]
+
+    single = run('single', 'none')
+    sharded = run('sharded', '2')
+    assert len(single) == len(sharded) == 2
+    np.testing.assert_allclose(sharded, single, rtol=2e-3)
+
+
+def test_irn_train_cli_mesh_matches_single(tmp_path, monkeypatch,
+                                           capsys):
+    """dp-sharded IRN affinity training (--mesh 2) must track the
+    single-device run (full make_cam -> ir_label -> train_irn chain on
+    synthetic data)."""
+    import re
+
+    from wsss_tpu.cli import irn
+
+    def run(sub, mesh):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        irn.main(['--dataset', 'VOC2012', '--passes',
+                  'make_cam,cam_to_ir_label,train_irn',
+                  '--synthetic_n', '4', '--batchsize', '2',
+                  '--img_size', '32', '--scales', '1.0',
+                  '--irn_random_trunk', '--verbose', '--mesh', mesh])
+        out = capsys.readouterr().out
+        return [float(m) for m in re.findall(r'irn loss ([0-9.]+)', out)]
+
+    single = run('single', 'none')
+    sharded = run('sharded', '2')
+    assert len(single) == len(sharded) == 2
+    assert all(np.isfinite(single))
+    np.testing.assert_allclose(sharded, single, rtol=2e-3)
+
+
 def test_irn_make_cam_cli_mesh(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from wsss_tpu.cli import irn

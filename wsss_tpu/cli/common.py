@@ -68,6 +68,27 @@ def get_mesh(args):
     return make_mesh(None if v == 'auto' else int(v))
 
 
+def dp_train_putters(args):
+    """(put_batch, put_state) for --mesh dp-sharded training loops:
+    batches shard over the mesh 'data' axis, params/optimizer state
+    replicate, and GSPMD all-reduces gradients over ICI (replaces the
+    reference's single-process DataParallel, train_irn.py:92 /
+    SURVEY.md §2.8).  Identity passthroughs when --mesh none."""
+    import jax
+    import jax.numpy as jnp
+    mesh = get_mesh(args)
+    if mesh is None:
+        return jnp.asarray, lambda t: t
+    from wsss_tpu.parallel.mesh import batch_sharding, replicated
+    ndata = mesh.shape['data']
+    if args.batchsize % ndata:
+        raise SystemExit(f'--batchsize {args.batchsize} must be '
+                         f'divisible by the mesh data axis ({ndata})')
+    bsh, rsh = batch_sharding(mesh), replicated(mesh)
+    return (lambda x: jax.device_put(jnp.asarray(x), bsh),
+            lambda t: jax.device_put(t, rsh))
+
+
 def input_size(args) -> int:
     if args.img_size:
         return args.img_size

@@ -174,6 +174,8 @@ def run_train_irn(args, dirs) -> None:
         variables = transplant_classifier_trunk(handle.variables,
                                                 variables, backbone)
     step_fn = tr.jitted_step()
+    put_batch, put_state = common.dp_train_putters(args)
+    variables, opt_state = put_state(variables), put_state(opt_state)
     from PIL import Image
     from wsss_tpu.data import augment
     from wsss_tpu.data.pipeline import prefetch
@@ -225,8 +227,8 @@ def run_train_irn(args, dirs) -> None:
                 continue
             pairs = [make_pack(b.images[i], name)
                      for i, name in enumerate(b.names)]
-            imgs = jnp.asarray(norm(np.stack([p[0] for p in pairs])))
-            bg, fg, ng = (jnp.asarray(np.stack(z))
+            imgs = put_batch(norm(np.stack([p[0] for p in pairs])))
+            bg, fg, ng = (put_batch(np.stack(z))
                           for z in zip(*[p[1] for p in pairs]))
             variables, opt_state, parts = step_fn(
                 variables, opt_state, imgs, bg, fg, ng)

@@ -149,25 +149,8 @@ def main(argv=None):
         cue_dict = _load_cues(args.cues_pickle, None, n_cls)
         ds, _ = common.get_batches(args, args.train_split, size)
         step_fn = trainer.jitted_step()
-        # --mesh: dp-sharded training — params/opt state replicated,
-        # batches sharded over 'data', gradients all-reduced by GSPMD
-        # over ICI (replaces the reference's single-process
-        # DataParallel, train_irn.py:92 / SURVEY.md §2.8)
-        mesh = common.get_mesh(args)
-        put_batch = jnp.asarray
-        if mesh is not None:
-            from wsss_tpu.parallel.mesh import batch_sharding, replicated
-            ndata = mesh.shape['data']
-            if args.batchsize % ndata:
-                raise SystemExit(f'--batchsize {args.batchsize} must be '
-                                 f'divisible by the mesh data axis '
-                                 f'({ndata})')
-            bsh, rsh = batch_sharding(mesh), replicated(mesh)
-            params = jax.device_put(params, rsh)
-            opt_state = jax.device_put(opt_state, rsh)
-
-            def put_batch(x):
-                return jax.device_put(jnp.asarray(x), bsh)
+        put_batch, put_state = common.dp_train_putters(args)
+        params, opt_state = put_state(params), put_state(opt_state)
         step = 0
         from wsss_tpu.data.pipeline import prefetch
         from wsss_tpu.utils.timing import profile_trace

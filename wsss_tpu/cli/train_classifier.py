@@ -114,6 +114,9 @@ def main(argv=None):
 
     from wsss_tpu.utils.timing import profile_trace
     step_fn = trainer.jitted_step()
+    put_batch, put_state = common.dp_train_putters(args)
+    params, model_state, opt_state = (
+        put_state(params), put_state(model_state), put_state(opt_state))
     step = start_step
     prof = profile_trace(args.profile_dir)
     prof.__enter__()
@@ -127,10 +130,10 @@ def main(argv=None):
                                      augment=aug)):
             if b.images.shape[0] != args.batchsize:
                 continue  # static shapes: drop ragged tail
-            imgs = jnp.asarray(norm(b.images))
+            imgs = put_batch(norm(b.images))
             params, model_state, opt_state, m = step_fn(
                 params, model_state, opt_state, imgs,
-                jnp.asarray(expand_tags(b.tags)), jax.random.PRNGKey(step))
+                put_batch(expand_tags(b.tags)), jax.random.PRNGKey(step))
             step += 1
             if args.verbose:
                 print(f'epoch {epoch} step {step} '

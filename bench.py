@@ -111,16 +111,14 @@ def _emit_last_good(reason: str) -> bool:
 
 def _record_last_good(result: dict) -> None:
     import pathlib
-    import subprocess
+    from wsss_tpu.utils.repo import git_head
     root = pathlib.Path(__file__).resolve().parent
     try:
-        commit = subprocess.run(
-            ['git', 'rev-parse', 'HEAD'], cwd=root, capture_output=True,
-            text=True, check=True).stdout.strip()
-    except Exception:
-        commit = 'unknown'
-    (root / 'BENCH_LAST_GOOD.json').write_text(
-        json.dumps(dict(result, measured_at_commit=commit)) + '\n')
+        (root / 'BENCH_LAST_GOOD.json').write_text(
+            json.dumps(dict(result, measured_at_commit=git_head(root)))
+            + '\n')
+    except OSError:
+        pass  # never lose a completed measurement to a write failure
 
 
 def main():
@@ -211,12 +209,15 @@ def main():
 
     # hardware utilization of the CRF kernels: executed one-hot-matmul
     # MACs (NOT algorithmic flops — the factorization inflates work to
-    # ride the MXU) over measured time vs the bf16 peak
+    # ride the MXU) over measured time vs the bf16 peak.  Only valid
+    # when mean_field actually routed to the MXU kernels.
     try:
-        from wsss_tpu.ops.crf.meanfield import mxu_macs_estimate
-        macs = mxu_macs_estimate((size, size), spec.n_seg_classes, cfg)
-        extras['crf_mxu_util'] = round(
-            2.0 * macs / dt_crf / V5E_PEAK_FLOPS, 4)
+        from wsss_tpu.ops.crf.meanfield import _mxu_ok, mxu_macs_estimate
+        if _mxu_ok((size, size), spec.n_seg_classes, cfg):
+            macs = mxu_macs_estimate((size, size), spec.n_seg_classes,
+                                     cfg)
+            extras['crf_mxu_util'] = round(
+                2.0 * macs / dt_crf / V5E_PEAK_FLOPS, 4)
     except Exception:                  # pragma: no cover
         pass
 
@@ -246,12 +247,17 @@ def main():
         root = pathlib.Path(__file__).resolve().parent
         sc = json.loads((root / 'BENCH_STAGES.json').read_text())
         # stale only if the measured code itself changed since the
-        # sidecar's commit (doc/driver commits don't invalidate it)
-        diff = subprocess.run(
-            ['git', 'diff', '--quiet', sc.get('commit', '') + '..HEAD',
-             '--', 'wsss_tpu', 'scripts/bench_stages.py'],
-            cwd=root, capture_output=True)
-        sc['stale'] = diff.returncode != 0
+        # sidecar's commit (doc/driver commits don't invalidate it);
+        # unknown provenance counts as stale
+        commit = sc.get('commit')
+        if commit and commit != 'unknown':
+            diff = subprocess.run(
+                ['git', 'diff', '--quiet', commit + '..HEAD',
+                 '--', 'wsss_tpu', 'scripts/bench_stages.py'],
+                cwd=root, capture_output=True)
+            sc['stale'] = diff.returncode != 0
+        else:
+            sc['stale'] = True
         extras['stage_benches'] = sc
     except Exception:                  # pragma: no cover
         pass

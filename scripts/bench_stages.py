@@ -16,12 +16,12 @@ from __future__ import annotations
 
 import json
 import pathlib
-import subprocess
 import time
 
 import numpy as np
 
-_RESULTS = {}
+_RESULTS = {}        # name -> images/sec/chip
+_EXTRAS = {}         # non-throughput values (own units)
 
 
 def _sync(out):
@@ -48,15 +48,10 @@ def bench(name, fn, n_items, iters=5, warmup=1):
 
 def _write_sidecar():
     root = pathlib.Path(__file__).resolve().parent.parent
-    try:
-        commit = subprocess.run(
-            ['git', 'rev-parse', 'HEAD'], cwd=root, capture_output=True,
-            text=True, check=True).stdout.strip()
-    except Exception:
-        commit = 'unknown'
+    from wsss_tpu.utils.repo import git_head
     (root / 'BENCH_STAGES.json').write_text(json.dumps(
-        {'commit': commit, 'unit': 'images/sec/chip',
-         'stages': _RESULTS}, indent=1) + '\n')
+        {'commit': git_head(root), 'unit': 'images/sec/chip',
+         'stages': _RESULTS, 'extras': _EXTRAS}, indent=1) + '\n')
 
 
 def main():
@@ -132,7 +127,7 @@ def main():
         lab32 = np.asarray(seg32.segment_batch(imgs_h))
         labb = np.asarray(segb.segment_batch(imgs_h))
         agree = float((lab32 == labb).mean())
-        _RESULTS['hsn_bf16_label_agree'] = round(agree, 4)
+        _EXTRAS['hsn_bf16_label_agree_fraction'] = round(agree, 4)
         print(json.dumps({'metric': 'hsn_bf16_label_agree',
                           'value': round(agree, 4), 'unit': 'fraction'}))
     except Exception as e:             # pragma: no cover

@@ -742,10 +742,12 @@ def mean_field(probs: Array, img: Array, config,
         # the device program is ~8 ms while the per-dispatch host/tunnel
         # gap is ~6 ms, so pairing images amortizes the dispatch
         # (measured 83.4 img/s at B=2 vs 70.7 at B=1 vs 77.6 at B=4 —
-        # larger batches re-inflate the HBM working set).  Wide-channel
-        # configs fall back to the v1 kernels where B=1 measured best.
+        # larger batches re-inflate the HBM working set).  Configs the
+        # v2 layout cannot take (wide channels / VMEM bounds) fall back
+        # to the v1 kernels where B=1 measured best.
         b = probs.shape[0]
-        chunk = 2 if (b > 1 and probs.shape[-1] <= 32) else 1
+        chunk = 2 if (b > 1 and _mxu.v2_eligible(
+            config.bi_srgb, probs.shape[-1], MXU_CELL_MULT)) else 1
         if b <= chunk:
             return _mean_field_mxu(probs, img, **mkw)
         outs = [_mean_field_mxu_at(probs, img, np.int32(s0), k=chunk,

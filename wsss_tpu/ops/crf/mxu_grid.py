@@ -121,6 +121,32 @@ def grid_dims(srgb: float, cell_mult: float = 1.0) -> Tuple[int, int]:
     return gc, gc ** 3
 
 
+def _v2_geometry(gc: int):
+    """(gcp4, h2p, lbv) of the v2 corner-tiled layout for a gc-cell
+    color cube (lbv = largest divisor of gc whose splat block fits)."""
+    gcp4 = -(-gc // 4)
+    h2p = _round_up(gc * gcp4, 16)
+    lbv = 1
+    for cand in range(gc, 0, -1):
+        if gc % cand == 0 and cand * h2p * 512 * 2 * 2 <= 4 * 1024 * 1024:
+            lbv = cand
+            break
+    return gcp4, h2p, lbv
+
+
+def v2_eligible(srgb: float, n_ch: int,
+                cell_mult: float = 1.0) -> bool:
+    """Whether a config runs the v2 corner-tiled kernels on the compiled
+    path (channel width + VMEM bounds; sxy does not enter).  Shared by
+    MXUBilateralGrid and meanfield's dispatch-chunk choice — the
+    chunk-of-2 pairing is tuned for the v2 device-program timings."""
+    gc, _ = grid_dims(srgb, cell_mult)
+    _, h2p, lbv = _v2_geometry(gc)
+    return (n_ch <= 32
+            and gc * h2p * 128 * (4 * 2 * 2 + 4) <= 10 * 1024 * 1024
+            and lbv * h2p * 512 * 2 * 2 <= 4 * 1024 * 1024)
+
+
 def applicable(sxy: float, srgb: float, n_ch: int = 32,
                cell_mult: float = 1.0, require8: bool = True) -> bool:
     """Whether the MXU grid supports this kernel config: integer cell
@@ -248,7 +274,7 @@ def _splat_kernel(hit_ref, lot_ref, xt_ref, wsp_ref, out_ref, oht_ref,
 
 
 def _splat_kernel_v2(hit2_ref, crt_ref, cblos_ref, xt_ref, wsp_ref,
-                     out_ref, oht_ref, wv_ref, *, n_ch, lb, h2p):
+                     out_ref, oht_ref, wv_ref, *, lb):
     """Per-tile splat partial in the corner-tiled v2 layout:
 
         out[cr, hi2, q*128 + j*32 + c] =
@@ -315,7 +341,7 @@ def _splat_kernel_v2(hit2_ref, crt_ref, cblos_ref, xt_ref, wsp_ref,
 
 
 def _combine_blur_kernel_v2(p00_ref, p01_ref, p10_ref, p11_ref, out_ref,
-                            cube_ref, *, gc, gcp4, nty, ntx, taps):
+                            cube_ref, *, gcp4, nty, ntx, taps):
     """Fused quadrant combine + color blur on the v2 cube layout
     [cr, R=(cg*gcp4 + cb//4), L=(cb%4)*32 + c].
 
@@ -621,19 +647,10 @@ class MXUBilateralGrid:
         # HBM read than whole-partial fetches) and the grid cube's
         # channel lanes stop padding 21 -> 128.  Falls back to the v1
         # kernels for wide channels or oversized VMEM blocks.
-        self.gcp4 = -(-gc // 4)
-        self.h2p = _round_up(gc * self.gcp4, 16)
-        self.lbv = 1
-        for cand in range(gc, 0, -1):
-            if gc % cand == 0 and cand * self.h2p * 512 * 2 * 2                     <= 4 * 1024 * 1024:
-                self.lbv = cand
-                break
-        self.v2 = (
-            c <= 32
-            and gc * self.h2p * 128 * (4 * 2 * 2 + 4) <= 10 * 1024 * 1024
-            and self.lbv * self.h2p * 512 * 2 * 2 <= 4 * 1024 * 1024
-            and (not interpret or FORCE_V2_INTERPRET)
-            and not _V2_DISABLED)
+        self.gcp4, self.h2p, self.lbv = _v2_geometry(gc)
+        self.v2 = (v2_eligible(srgb, c, cell_mult)
+                   and (not interpret or FORCE_V2_INTERPRET)
+                   and not _V2_DISABLED)
         if self.v2:
             self.hipv = gc * self.h2p
             self.hichv = 16
@@ -822,8 +839,7 @@ class MXUBilateralGrid:
         Returns the blurred-color cube [B, Gy, Gx, gc*h2p*128] bf16."""
         b, c, gc = xp.shape[0], self.n_ch, self.gc
         t, h2p, lbv = self.t, self.h2p, self.lbv
-        kern = functools.partial(_splat_kernel_v2, n_ch=c, lb=lbv,
-                                 h2p=h2p)
+        kern = functools.partial(_splat_kernel_v2, lb=lbv)
         part = pl.pallas_call(
             kern,
             grid=(b, self.nty, self.ntx, gc // lbv),
@@ -854,7 +870,7 @@ class MXUBilateralGrid:
         gy, gx = self.nty + 1, self.ntx + 1
         nty, ntx = self.nty, self.ntx
         fkern = functools.partial(
-            _combine_blur_kernel_v2, gc=gc, gcp4=self.gcp4,
+            _combine_blur_kernel_v2, gcp4=self.gcp4,
             nty=nty, ntx=ntx, taps=self.taps_col)
 
         def fpart_spec(dy, dx, q):

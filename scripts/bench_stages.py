@@ -54,7 +54,8 @@ def _write_sidecar():
          'stages': _RESULTS, 'extras': _EXTRAS}, indent=1) + '\n')
 
 
-def main():
+def main(argv=None):
+    import argparse
     import jax
     import jax.numpy as jnp
 
@@ -65,8 +66,18 @@ def main():
     from wsss_tpu.ops.crf import config as crf_config
     from wsss_tpu.ops.crf.meanfield import mean_field
 
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--size', type=int, default=321,
+                    help='image size (production 321; small values '
+                         'smoke-test all code paths on CPU)')
+    ap.add_argument('--smoke', action='store_true',
+                    help='1-iteration timing + skip the 2448^2 '
+                         'DeepGlobe bench (CPU smoke run)')
+    a = ap.parse_args(argv)
+    smoke_kw = dict(iters=1, warmup=1) if a.smoke else {}
+
     spec = registry.get('VOC2012')
-    size = 321
+    size = a.size
     rng = np.random.default_rng(0)
 
     # --- IRN make_cam: 4-scale MSF CAM inference, batch of 4 ----------
@@ -74,7 +85,8 @@ def main():
     cam = CAMInference(handle, spec, 'VGG16')
     imgs4 = jnp.asarray(rng.uniform(0, 255, (4, size, size, 3))
                         .astype(np.float32))
-    bench('irn_make_cam_msf', lambda: cam._msf_batch(imgs4), 4)
+    bench('irn_make_cam_msf', lambda: cam._msf_batch(imgs4), 4,
+          **smoke_kw)
 
     # --- SEC predict: FCN logits -> upsample -> test-time CRF ---------
     from wsss_tpu.train.sec_dsrg import SECDSRGTrainer
@@ -92,13 +104,15 @@ def main():
         probs = jax.nn.softmax(
             resize_bilinear(logits, (size, size)), axis=-1)
         return mean_field(probs, imgs_raw, cfg)
-    bench('sec_predict_crf', sec_predict, 4)
+    bench('sec_predict_crf', sec_predict, 4, **smoke_kw)
 
     # --- IRN random walk: 80^2 grid (321/4), exp_times=8 --------------
-    camk = jnp.asarray(rng.uniform(0, 1, (21, 80, 80)).astype(np.float32))
-    edge = jnp.asarray(rng.uniform(0, 1, (80, 80)).astype(np.float32))
+    g4 = size // 4
+    camk = jnp.asarray(rng.uniform(0, 1, (21, g4, g4)).astype(np.float32))
+    edge = jnp.asarray(rng.uniform(0, 1, (g4, g4)).astype(np.float32))
     bench('irn_random_walk', lambda: random_walk.propagate_to_edge(
-        camk, edge, beta=10.0, exp_times=8, radius=5), 1, iters=10)
+        camk, edge, beta=10.0, exp_times=8, radius=5), 1,
+          **(smoke_kw or {'iters': 10}))
 
     # --- opt-in bf16 inference (WSSS_TPU_BF16_INFER): throughput and
     # label agreement vs the f32 default on the HSN headline path -----
@@ -123,7 +137,7 @@ def main():
         imgs_h = jnp.asarray(rng.uniform(0, 255, (4, size, size, 3))
                              .astype(np.float32))
         bench('hsn_headline_bf16_infer',
-              lambda: segb.segment_batch(imgs_h), 4)
+              lambda: segb.segment_batch(imgs_h), 4, **smoke_kw)
         lab32 = np.asarray(seg32.segment_batch(imgs_h))
         labb = np.asarray(segb.segment_batch(imgs_h))
         agree = float((lab32 == labb).mean())
@@ -139,13 +153,14 @@ def main():
     # pydensecrf at ~30 s/img on CPU otherwise); here the 2448^2 dense
     # CRF runs on-device at full resolution ---------------------------
     try:
-        dg_cfg = crf_config.hsn_config('DeepGlobe')
-        img_dg = jnp.asarray(rng.uniform(0, 255, (2448, 2448, 3))
-                             .astype(np.float32))
-        p_dg = jnp.asarray(
-            rng.dirichlet(np.ones(7), (2448, 2448)).astype(np.float32))
-        bench('deepglobe_fullres_crf',
-              lambda: mean_field(p_dg, img_dg, dg_cfg), 1, iters=3)
+        if not a.smoke:
+            dg_cfg = crf_config.hsn_config('DeepGlobe')
+            img_dg = jnp.asarray(rng.uniform(0, 255, (2448, 2448, 3))
+                                 .astype(np.float32))
+            p_dg = jnp.asarray(rng.dirichlet(np.ones(7), (2448, 2448))
+                               .astype(np.float32))
+            bench('deepglobe_fullres_crf',
+                  lambda: mean_field(p_dg, img_dg, dg_cfg), 1, iters=3)
     except Exception as e:             # pragma: no cover
         print(json.dumps({'metric': 'deepglobe_fullres_crf',
                           'error': type(e).__name__}))
@@ -167,15 +182,16 @@ def main():
 
         def cls_step():
             return cstep(cp, cms, cos, imgs16, tgt16, key)
-        bench('train_classifier_step', cls_step, 16)
+        bench('train_classifier_step', cls_step, 16, **smoke_kw)
     except Exception as e:             # pragma: no cover
         print(json.dumps({'metric': 'train_classifier_step',
                           'error': type(e).__name__}))
 
     try:
-        cues8 = np.zeros((8, 41, 41, spec.n_seg_classes), np.float32)
-        cues8[:, :10, :10, 1] = 1
-        cues8[:, 25:, 25:, 0] = 1
+        g8 = (size - 1) // 8 + 1     # FCN stride-8 seed grid (41 at 321)
+        cues8 = np.zeros((8, g8, g8, spec.n_seg_classes), np.float32)
+        cues8[:, :g8 // 4, :g8 // 4, 1] = 1
+        cues8[:, g8 // 2:, g8 // 2:, 0] = 1
         lab8 = np.zeros((8, spec.n_seg_classes), np.float32)
         lab8[:, :2] = 1
         imgs_raw8 = jnp.asarray(
@@ -187,7 +203,7 @@ def main():
             return sstep(sp, sos, imgs_raw8 / 255., imgs_raw8,
                          jnp.asarray(cues8), jnp.asarray(lab8),
                          jax.random.PRNGKey(2))
-        bench('train_sec_step', sec_step, 8)
+        bench('train_sec_step', sec_step, 8, **smoke_kw)
     except Exception as e:             # pragma: no cover
         print(json.dumps({'metric': 'train_sec_step',
                           'error': type(e).__name__}))
@@ -208,12 +224,13 @@ def main():
 
         def irn_step():
             return istep(ivars, ios, imgs_n8, bg, fg, ng)
-        bench('train_irn_step', irn_step, 8)
+        bench('train_irn_step', irn_step, 8, **smoke_kw)
     except Exception as e:             # pragma: no cover
         print(json.dumps({'metric': 'train_irn_step',
                           'error': type(e).__name__}))
 
-    _write_sidecar()
+    if not a.smoke:   # smoke numbers must never clobber real ones
+        _write_sidecar()
 
 
 if __name__ == '__main__':

@@ -68,6 +68,25 @@ def test_sec_train_cli_mesh_matches_single(tmp_path, monkeypatch):
     np.testing.assert_allclose(sharded, single, rtol=2e-3)
 
 
+def test_hsn_cli_mesh_matches_single(tmp_path, monkeypatch):
+    """Sharded HSN CLI run must produce the same mIoU csv as --mesh
+    none."""
+    from wsss_tpu.cli import hsn
+
+    def run(sub, mesh):
+        d = tmp_path / sub
+        d.mkdir()
+        monkeypatch.chdir(d)
+        hsn.main(['--dataset', 'VOC2012', '--synthetic_n', '4',
+                  '--batchsize', '2', '--img_size', '32',
+                  '--mesh', mesh])
+        csv = (d / 'eval' / 'HSN_VOC2012_VGG16' /
+               'hsn_iou.csv').read_text()
+        return csv
+
+    assert run('single', 'none') == run('sharded', '2')
+
+
 def test_train_classifier_cli_mesh_matches_single(tmp_path, monkeypatch,
                                                   capsys):
     """dp-sharded classifier training (--mesh 2) must track the

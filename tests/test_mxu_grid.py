@@ -151,6 +151,20 @@ def test_v2_matches_v1_interpret(monkeypatch, srgb):
     np.testing.assert_allclose(n2 / nscale, n1 / nscale, atol=2e-2)
 
 
+def test_v2_eligible_matches_grid_flag(monkeypatch):
+    """meanfield's dispatch-chunk choice consults v2_eligible; it must
+    agree with the layout the constructor actually picks."""
+    monkeypatch.setattr(mxu_grid, 'FORCE_V2_INTERPRET', True)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (1, 8, 8, 3))
+                       .astype(np.float32))
+    for srgb, c in [(64.0, 3), (36.0, 21), (64.0, 33)]:
+        g = mxu_grid.MXUBilateralGrid(imgs, 4.0, srgb, c,
+                                      interpret=True)
+        assert g.v2 == mxu_grid.v2_eligible(srgb, c), (srgb, c)
+    assert not mxu_grid.v2_eligible(64.0, 33)      # wide channels
+
+
 def test_applicable():
     assert mxu_grid.applicable(40.0, 13.0)      # bench config
     assert mxu_grid.applicable(80.0, 13.0)      # SEC/DSRG test config

@@ -151,6 +151,26 @@ def test_v2_matches_v1_interpret(monkeypatch, srgb):
     np.testing.assert_allclose(n2 / nscale, n1 / nscale, atol=2e-2)
 
 
+def test_deepglobe_class_routing_interpret(monkeypatch):
+    """The DeepGlobe HSN config (sxy=40 -> downsampled message, srgb=13
+    -> gc=16 cube, C=7, non-square image) must route to the MXU path
+    and produce a normalized field — the reduced-scale twin of the
+    2448^2 full-res bench (scripts/bench_stages.py)."""
+    from wsss_tpu.ops.crf import config as crf_config
+    from wsss_tpu.ops.crf import meanfield
+
+    cfg = crf_config.CRFConfig(1.5, 3, 40.0, 13, 10, iterations=1)
+    h, w, c = 200, 160, 7
+    monkeypatch.setattr(meanfield, '_MXU_FORCE_INTERPRET', True)
+    assert meanfield._mxu_ok((h, w), c, cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (h, w, 3)).astype(np.float32))
+    p = jnp.asarray(rng.dirichlet(np.ones(c), (h, w)).astype(np.float32))
+    q = np.asarray(meanfield.mean_field(p, img, cfg))
+    assert np.isfinite(q).all() and q.shape == (h, w, c)
+    np.testing.assert_allclose(q.sum(-1), 1.0, atol=1e-3)
+
+
 def test_v2_eligible_matches_grid_flag(monkeypatch):
     """meanfield's dispatch-chunk choice consults v2_eligible; it must
     agree with the layout the constructor actually picks."""

@@ -68,6 +68,16 @@ def test_sec_train_cli_mesh_matches_single(tmp_path, monkeypatch):
     np.testing.assert_allclose(sharded, single, rtol=2e-3)
 
 
+def test_dp_train_putters_rejects_indivisible_batch():
+    import argparse
+
+    from wsss_tpu.cli import common
+
+    args = argparse.Namespace(mesh='2', batchsize=3)
+    with pytest.raises(SystemExit, match='divisible'):
+        common.dp_train_putters(args)
+
+
 def test_hsn_cli_mesh_matches_single(tmp_path, monkeypatch):
     """Sharded HSN CLI run must produce the same mIoU csv as --mesh
     none."""

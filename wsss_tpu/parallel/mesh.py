@@ -17,20 +17,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ('data', 'model')):
-    """1x or 2-axis mesh over available devices.
+              axis_names: Sequence[str] = ('data', 'model'),
+              model: int = 1):
+    """1- or 2-axis mesh over available devices.
 
     Default layout puts everything on 'data' (batch parallel — the only
-    parallelism the workload needs at VGG16 scale) with a trivial 'model'
-    axis that spatial/tensor sharding can use when requested.
+    parallelism the workload needs at VGG16 scale) with a trivial
+    size-1 'model' axis that spatial/tensor sharding can use when
+    requested.  Pass model=k to carve k devices off for the 'model'
+    axis (the dryrun does, to exercise halo/2-D sharding); a silent
+    model=2 default would leave half the pod computing redundant
+    replicas on every pure-dp --mesh driver.
     """
     devs = jax.devices()[:n_devices] if n_devices else jax.devices()
     n = len(devs)
     if len(axis_names) == 1:
         shape = (n,)
     else:
-        # prefer model axis 2 when it divides the device count
-        model = 2 if n % 2 == 0 and n > 1 else 1
+        if n % model:
+            raise ValueError(f'model axis {model} must divide the '
+                             f'device count {n}')
         shape = (n // model, model)
     return Mesh(np.asarray(devs).reshape(shape), axis_names[:len(shape)])
 

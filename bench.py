@@ -132,8 +132,13 @@ def main():
 
     spec = registry.get('VOC2012')
     size = 321
-    batch = 4
-    n_batches = 4
+    # batch 8 per device program: the fused CAM->CRF->argmax path
+    # (methods/hsn.py) chunks the CRF in pairs INSIDE the program, so
+    # larger batches amortize the per-program host/tunnel gap without
+    # re-inflating the CRF working set (measured: b8 100.3 img/s vs
+    # b4 97.3 vs b16 99.9, round 4)
+    batch = 8
+    n_batches = 2
     extras = {}
 
     fg = gc._ClassifierHandle.random('VGG16', spec.n_fg_classes, size)

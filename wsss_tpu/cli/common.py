@@ -120,8 +120,9 @@ def load_handle(args, num_classes: int, size: int, seed: int = 0,
     model_dir = os.path.join(args.model_root, sid)
     npz = os.path.join(model_dir, sid + '.npz')
     if os.path.exists(npz):
+        from wsss_tpu.models import infer_dtype
         model = build_classifier(args.model + suffix.replace('bg', ''),
-                                 num_classes)
+                                 num_classes, dtype=infer_dtype())
         x0 = jnp.zeros((1, size, size, 3))
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
         _, params, thresholds = checkpoint.import_triplet(

@@ -45,11 +45,11 @@ def _normalizer(norm):
 class _ClassifierHandle:
     """A classifier + its calibrated thresholds + static Grad-CAM weights.
 
-    WSSS_TPU_BF16_INFER=1 (handled in models.build_classifier) makes
-    every layer compute in bfloat16 — the conv stage then runs at the
-    MXU's bf16 rate (~2x f32; f32 measured 0.33 MFU at the bench
-    config).  Opt-in: the reference calibrates thresholds in f32 and
-    borderline cue pixels can flip."""
+    Handle models build with models.infer_dtype(): every layer computes
+    in bfloat16 on TPU (default since round 4 — CAM-label agreement vs
+    f32 measured 1.0 at the bench config; MXU bf16 rate ~2x f32), f32
+    elsewhere.  WSSS_TPU_NO_BF16_INFER=1 restores the reference's f32
+    end-to-end numerics for A/B runs."""
 
     def __init__(self, model, variables, thresholds, input_size: int):
         self.model = model
@@ -82,7 +82,9 @@ class _ClassifierHandle:
         """Untrained handle for tests/benchmarks (weights random, threshold
         flat 0.5 like the reference's missing-.mat fallback,
         adp_cues.py:118-120)."""
-        model = build_classifier(model_type, num_classes)
+        from wsss_tpu.models import infer_dtype
+        model = build_classifier(model_type, num_classes,
+                                 dtype=infer_dtype())
         x0 = jnp.zeros((1, input_size, input_size, 3))
         variables = jax.jit(model.init)(jax.random.PRNGKey(seed), x0)
         th = np.broadcast_to(np.asarray(thresholds, np.float32),

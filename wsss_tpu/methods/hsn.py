@@ -29,9 +29,35 @@ from wsss_tpu.methods.gradcam_cues import _ClassifierHandle, _normalizer
 from wsss_tpu.ops import cues as cue_ops
 from wsss_tpu.ops import gradcam as gc_ops
 from wsss_tpu.ops.crf import config as crf_config
+from wsss_tpu.ops.crf import meanfield
 from wsss_tpu.ops.crf.meanfield import mean_field
 
 HSN_THRESHOLD = 1.0 / 3.0  # demo.py:83 clamp degenerates to a constant
+
+
+def _fused_crf_argmax(probs_fn, cfg):
+    """One-device-program segment step: CAM probs -> chunked MXU mean
+    field -> argmax, all inside a single jit.  Removes the ~6 ms
+    host/tunnel gap each separate CRF dispatch pays (measured round 4:
+    80.5 -> 100.3 img/s at the bench config).  Only built when the CRF
+    config routes to the jit-composable MXU kernels."""
+    @jax.jit
+    def fused(imgs):
+        probs = probs_fn(imgs)
+        q = meanfield.mean_field_fused(probs, imgs, cfg)
+        return jnp.argmax(q, axis=-1).astype(jnp.int32)
+    return fused
+
+
+def _shard_mapped(fused, mesh):
+    """Data-parallel wrapper of a fused per-shard step: each device runs
+    the chunked CRF on ITS batch shard (the host-level chunk loop would
+    otherwise dynamic-slice 2-image chunks across shard boundaries and
+    serialize the CRF stage — the mesh exists to parallelize it)."""
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(jax.shard_map(
+        fused, mesh=mesh, in_specs=P('data'), out_specs=P('data'),
+        check_vma=False))
 
 
 class HSNSegmenter:
@@ -71,12 +97,20 @@ class HSNSegmenter:
 
         self._probs_fn = probs_fn
         self._cfg = cfg
+        n_ch = (spec.n_fg_classes + 1 if spec.uses_bg_net
+                else spec.n_fg_classes - int(drop_last_class))
+        self._fused = (_fused_crf_argmax(probs_fn, cfg)
+                       if meanfield.fused_mxu_ok((size, size), n_ch, cfg)
+                       else None)
+        self._mesh_fused = {}
 
     def segment_batch(self, imgs_raw, mesh=None) -> jax.Array:
         """imgs_raw: [B,S,S,3] float RGB 0..255 -> labels [B,S,S] int32.
 
-        The CAM stage is one jitted call; the CRF is dispatched per image
-        at the host level (see the lax.map performance note in
+        On TPU with an MXU-routed CRF config the whole step (CAM probs,
+        chunked mean field, argmax) is ONE device program; otherwise the
+        CAM stage is one jitted call and the CRF dispatches per image at
+        the host level (see the lax.map performance note in
         ops/crf/meanfield.py).  mesh: optional jax.sharding.Mesh — the
         batch shards over its 'data' axis (the reference's
         one-process-per-GPU inference split, make_cam.py:120-122, as one
@@ -84,10 +118,24 @@ class HSNSegmenter:
         if mesh is not None:
             from wsss_tpu.parallel.mesh import shard_batch
             (imgs,), b0 = shard_batch(mesh, imgs_raw)
+            extra = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                 if a != 'data']))
+            if self._fused is not None and extra == 1:
+                # per-shard fused step: the CRF chunks run on EACH
+                # device's local batch, so the stage scales with the
+                # mesh.  NOTE: the VOC bg-channel batch-global max quirk
+                # becomes shard-local here — matching the reference,
+                # whose per-GPU processes each see only their own split.
+                if mesh not in self._mesh_fused:
+                    self._mesh_fused[mesh] = _shard_mapped(self._fused,
+                                                           mesh)
+                return self._mesh_fused[mesh](imgs)[:b0]
             probs = self._probs_fn(imgs)
             q = mean_field(probs, imgs, self._cfg)
             return jnp.argmax(q, axis=-1).astype(jnp.int32)[:b0]
         imgs = jnp.asarray(imgs_raw, jnp.float32)
+        if self._fused is not None:
+            return self._fused(imgs)
         probs = self._probs_fn(imgs)
         q = mean_field(probs, imgs, self._cfg)
         return jnp.argmax(q, axis=-1).astype(jnp.int32)
@@ -147,6 +195,22 @@ class ADPHSNSegmenter:
 
         self._batch_fn = batch_fn
         self._cfg_morph, self._cfg_func = cfg_morph, cfg_func
+        hw = (size, size)
+        if (meanfield.fused_mxu_ok(hw, morph_spec.n_seg_classes,
+                                   cfg_morph)
+                and meanfield.fused_mxu_ok(hw, func_spec.n_seg_classes,
+                                           cfg_func)):
+            @jax.jit
+            def fused(imgs):
+                cs_m, cs_f = batch_fn(imgs)
+                q_m = meanfield.mean_field_fused(cs_m, imgs, cfg_morph)
+                q_f = meanfield.mean_field_fused(cs_f, imgs, cfg_func)
+                return (jnp.argmax(q_m, -1).astype(jnp.int32),
+                        jnp.argmax(q_f, -1).astype(jnp.int32))
+            self._fused = fused
+        else:
+            self._fused = None
+        self._mesh_fused = {}
 
     def segment_batch(self, imgs_raw, mesh=None
                       ) -> Tuple[jax.Array, jax.Array]:
@@ -155,8 +219,18 @@ class ADPHSNSegmenter:
         if mesh is not None:
             from wsss_tpu.parallel.mesh import shard_batch
             (imgs,), b0 = shard_batch(mesh, imgs_raw)
+            extra = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                                 if a != 'data']))
+            if self._fused is not None and extra == 1:
+                if mesh not in self._mesh_fused:
+                    self._mesh_fused[mesh] = _shard_mapped(self._fused,
+                                                           mesh)
+                lm, lf = self._mesh_fused[mesh](imgs)
+                return lm[:b0], lf[:b0]
         else:
             imgs, b0 = jnp.asarray(imgs_raw, jnp.float32), None
+            if self._fused is not None:
+                return self._fused(imgs)
         cs_m, cs_f = self._batch_fn(imgs)
         q_m = mean_field(cs_m, imgs, self._cfg_morph)
         q_f = mean_field(cs_f, imgs, self._cfg_func)

@@ -195,6 +195,25 @@ class MVariantClassifier(nn.Module):
         return self.head(y).astype(jnp.float32)
 
 
+def infer_dtype() -> Dtype:
+    """Compute dtype for INFERENCE-ONLY model builds (params stay f32):
+    bfloat16 on the TPU backend — the conv stage then runs at the MXU's
+    bf16 rate (~2x f32; CAM-label agreement vs f32 measured 1.0 at the
+    bench config on v5e, BENCH_STAGES.json cam_bf16_label_agree) —
+    float32 elsewhere.  WSSS_TPU_NO_BF16_INFER=1 is the kill switch;
+    WSSS_TPU_BF16_INFER=1 forces bf16 regardless of backend.
+    Training paths must NOT use this: they build with the f32 default
+    (the reference trains f32 end to end, 01_train/demo.py:21-127)."""
+    import os
+    if os.environ.get('WSSS_TPU_NO_BF16_INFER'):
+        return jnp.float32
+    if os.environ.get('WSSS_TPU_BF16_INFER'):
+        return jnp.bfloat16
+    import jax
+    return (jnp.bfloat16 if jax.default_backend() == 'tpu'
+            else jnp.float32)
+
+
 def build_classifier(model_type: str, num_classes: int,
                      dtype: Dtype = None, batchnorm: bool = True):
     """Factory matching the reference's model tags
@@ -202,11 +221,10 @@ def build_classifier(model_type: str, num_classes: int,
     'M1'..'M7', 'X1.7' (= M7 trunk, 51-way head on ADP,
     03b_irn/net/m7_cam.py:16-18).
 
-    dtype: per-layer COMPUTE dtype (params stay f32).  Defaults to f32;
-    WSSS_TPU_BF16_INFER=1 flips the default to bfloat16 — the conv
-    stage then runs at the MXU's bf16 rate (~2x f32).  Opt-in because
-    the reference pipeline is f32 end to end and borderline cue pixels
-    can flip under bf16 activations.
+    dtype: per-layer COMPUTE dtype (params stay f32).  Defaults to f32
+    (the training paths rely on this; WSSS_TPU_BF16_INFER=1 flips it for
+    ad-hoc runs); inference handles pass dtype=infer_dtype(), which is
+    bf16 on TPU by default.
     """
     if dtype is None:
         import os

@@ -44,6 +44,16 @@ Array = jax.Array
 # escape hatches for the MXU grid path: env kill-switch, and a test hook
 # that forces it on non-TPU backends (Pallas interpret mode)
 _MXU_DISABLED = bool(os.environ.get('WSSS_TPU_NO_MXU'))
+# bf16 mean-field state: keeps Q / unaries / normalizers / messages of
+# the MXU-path loop in bfloat16 (matmuls still accumulate f32 via
+# preferred_element_type), halving the full-resolution HBM traffic of
+# the per-iteration elementwise ops (softmax, resizes, self-exclusion).
+# Default ON for the compiled TPU path: label agreement vs the f32-state
+# loop measured 1.0 at the bench config (v5e, 321^2 VOC, 10 iters;
+# scripts/exp_fused.py bf16s_agree) for +4% headline throughput.
+# Interpret mode (CPU parity tests) always runs f32 state.
+# WSSS_TPU_CRF_STATE_F32=1 is the kill switch for A/B runs.
+_CRF_STATE_BF16 = not bool(os.environ.get('WSSS_TPU_CRF_STATE_F32'))
 # Spatial-downsampled bilateral message: when the spatial kernel is wide
 # (cells >= MXU_DS_MIN_SXY px) the pairwise message is smooth at the
 # pixel scale, so it is computed on a guide image resampled to 16-px
@@ -577,6 +587,13 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
         ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
         n_g = jax.lax.rsqrt(jnp.maximum(
             _gaussian_filter_raw(ones, g_sxy, axes=(1, 2)), 1e-20))
+    if _CRF_STATE_BF16 and not interpret:
+        # normalizers computed in f32 above (rsqrt of tiny degrees),
+        # then the loop state + constants drop to bf16
+        sdt = jnp.bfloat16
+        U, Q, n_b, n_b_up = (t.astype(sdt) for t in (U, Q, n_b, n_b_up))
+        if g_compat:
+            n_g = n_g.astype(sdt)
 
     def body(_, Q):
         msg = 0.
@@ -600,9 +617,9 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
         if exclude_self:
             m = m - (n_b_up * n_b_up) * Q
         msg = msg + bi_compat * m
-        return jax.nn.softmax(-U + msg, axis=-1)
+        return jax.nn.softmax(-U + msg, axis=-1).astype(Q.dtype)
 
-    return jax.lax.fori_loop(0, iterations, body, Q)
+    return jax.lax.fori_loop(0, iterations, body, Q).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -705,6 +722,54 @@ def _mean_field_single(probs: Array, img: Array, *, g_sxy, g_compat,
     return jax.lax.fori_loop(0, iterations, body, Q)
 
 
+def _mxu_chunk(b: int, n_ch: int, config) -> int:
+    """Batch chunk size for the MXU mean field: 2 when the v2 kernels
+    will actually run (their ~8 ms device program amortizes pairing),
+    1 for the v1 fallback (B=1 measured best there)."""
+    return 2 if (b > 1 and _mxu.v2_active(
+        config.bi_srgb, n_ch, MXU_CELL_MULT,
+        interpret=_MXU_FORCE_INTERPRET)) else 1
+
+
+def fused_mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
+    """Whether mean_field_fused(probs, img, config) may be traced into a
+    caller's jit for this geometry (the config routes to the MXU grid
+    kernels — the only batched path that is jit-composable; the scatter
+    and native-permutohedral routes must stay at host level)."""
+    return config.bi_compat and _mxu_ok(hw, n_ch, config)
+
+
+def mean_field_fused(probs: Array, img: Array, config,
+                     exclude_self: bool = True) -> Array:
+    """In-graph (traceable) batched mean field, for callers that fuse
+    the CAM stage, the CRF, and the argmax into ONE device program
+    (methods/hsn.py fused path — the bench headline).
+
+    Callers must gate on fused_mxu_ok(...) with the static geometry.
+    The batch splits into chunk-of-2 STATIC subgraphs: the chunks stay
+    sequential inside the program, so the HBM working set matches the
+    tuned host-dispatch chaining, while the per-chunk host/tunnel gap
+    (~6 ms measured round 3) disappears entirely.  Measured round 4
+    (v5e, VOC 321^2 @ batch 8): 80.5 -> 100.3 img/s headline."""
+    kw = dict(g_sxy=config.g_sxy, g_compat=config.g_compat,
+              bi_sxy=config.bi_sxy, bi_srgb=config.bi_srgb,
+              bi_compat=config.bi_compat, iterations=config.iterations,
+              exclude_self=exclude_self,
+              interpret=_MXU_FORCE_INTERPRET, cell_mult=MXU_CELL_MULT)
+    if probs.ndim == 3:
+        return _mean_field_mxu(probs[None], img[None], **kw)[0]
+    b = probs.shape[0]
+    chunk = _mxu_chunk(b, probs.shape[-1], config)
+    if b <= chunk:
+        return _mean_field_mxu(probs, img, **kw)
+    outs = [_mean_field_mxu(probs[s:s + chunk], img[s:s + chunk], **kw)
+            for s in range(0, b - b % chunk, chunk)]
+    if b % chunk:
+        outs.append(_mean_field_mxu(probs[b - b % chunk:],
+                                    img[b - b % chunk:], **kw))
+    return jnp.concatenate(outs, axis=0)
+
+
 def mean_field(probs: Array, img: Array, config,
                exclude_self: bool = True) -> Array:
     """Dense-CRF mean-field. probs/img: [H,W,C]/[H,W,3] or batched [B,...].
@@ -743,11 +808,11 @@ def mean_field(probs: Array, img: Array, config,
         # gap is ~6 ms, so pairing images amortizes the dispatch
         # (measured 83.4 img/s at B=2 vs 70.7 at B=1 vs 77.6 at B=4 —
         # larger batches re-inflate the HBM working set).  Configs the
-        # v2 layout cannot take (wide channels / VMEM bounds) fall back
-        # to the v1 kernels where B=1 measured best.
+        # v2 layout cannot take (wide channels / VMEM bounds / the
+        # WSSS_TPU_MXU_V1 kill switch) fall back to the v1 kernels where
+        # B=1 measured best.
         b = probs.shape[0]
-        chunk = 2 if (b > 1 and _mxu.v2_eligible(
-            config.bi_srgb, probs.shape[-1], MXU_CELL_MULT)) else 1
+        chunk = _mxu_chunk(b, probs.shape[-1], config)
         if b <= chunk:
             return _mean_field_mxu(probs, img, **mkw)
         outs = [_mean_field_mxu_at(probs, img, np.int32(s0), k=chunk,

@@ -147,6 +147,19 @@ def v2_eligible(srgb: float, n_ch: int,
             and lbv * h2p * 512 * 2 * 2 <= 4 * 1024 * 1024)
 
 
+def v2_active(srgb: float, n_ch: int, cell_mult: float = 1.0,
+              interpret: bool = False) -> bool:
+    """Whether the constructor will ACTUALLY run the v2 kernels for this
+    config — eligibility AND the WSSS_TPU_MXU_V1 kill switch AND the
+    interpret-mode v1 fallback (mirrors the `self.v2` condition in
+    MXUBilateralGrid.__init__).  meanfield's dispatch-chunk choice keys
+    on this, not on bare eligibility, so an A/B run with v1 forced also
+    gets v1's tuned chunking (B=1)."""
+    return (v2_eligible(srgb, n_ch, cell_mult)
+            and (not interpret or FORCE_V2_INTERPRET)
+            and not _V2_DISABLED)
+
+
 def applicable(sxy: float, srgb: float, n_ch: int = 32,
                cell_mult: float = 1.0, require8: bool = True) -> bool:
     """Whether the MXU grid supports this kernel config: integer cell

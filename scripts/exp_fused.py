@@ -47,8 +47,12 @@ def main():
     import os
     if '_bf16' in variant:
         os.environ['WSSS_TPU_BF16_INFER'] = '1'
-    if 'bf16s' in variant:                   # bf16 mean-field state too
-        os.environ['WSSS_TPU_CRF_STATE_BF16'] = '1'
+    # mean-field state dtype: bf16 is the default on the compiled path
+    # (meanfield._CRF_STATE_BF16); non-bf16s variants pin f32 explicitly
+    # so each variant measures what its name claims (ADVICE r4 #3 — the
+    # old script set WSSS_TPU_CRF_STATE_BF16, which nothing reads)
+    if 'bf16s' not in variant:
+        os.environ['WSSS_TPU_CRF_STATE_F32'] = '1'
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +78,8 @@ def main():
                bi_sxy=cfg.bi_sxy, bi_srgb=cfg.bi_srgb,
                bi_compat=cfg.bi_compat, iterations=iters_crf,
                exclude_self=True, interpret=False,
-               cell_mult=mf.MXU_CELL_MULT)
+               cell_mult=mf.MXU_CELL_MULT,
+               state_bf16=mf._CRF_STATE_BF16, ds_cell=mf.MXU_DS_CELL)
 
     rng = np.random.default_rng(0)
     imgs = [jnp.asarray(
@@ -113,16 +118,18 @@ def main():
           flush=True)
 
     if 'bf16s' in variant and '_agree' in variant:
-        # label agreement of the bf16-state loop vs the f32-state loop
-        # (same program otherwise); flips the module flag and re-jits
+        # label agreement of the bf16-state loop vs the f32-state loop:
+        # state_bf16 is a STATIC ARG of _mean_field_mxu since round 5,
+        # so the f32 leg genuinely retraces (the old module-global flip
+        # reused the cached bf16 jaxpr and compared it to itself)
         lab16 = np.concatenate([np.asarray(r) for r in run()], axis=0)
-        mf._CRF_STATE_BF16 = False
+        mkw32 = dict(mkw, state_bf16=False)
 
         @jax.jit
         def fused32(im):
             probs = seg._probs_fn(im)
             outs = [mf._mean_field_mxu(probs[s:s + chunk],
-                                       im[s:s + chunk], **mkw)
+                                       im[s:s + chunk], **mkw32)
                     for s in range(0, batch, chunk)]
             q = jnp.concatenate(outs, axis=0)
             return jnp.argmax(q, axis=-1).astype(jnp.int32)

@@ -48,21 +48,27 @@ _MXU_DISABLED = bool(os.environ.get('WSSS_TPU_NO_MXU'))
 # the MXU-path loop in bfloat16 (matmuls still accumulate f32 via
 # preferred_element_type), halving the full-resolution HBM traffic of
 # the per-iteration elementwise ops (softmax, resizes, self-exclusion).
-# Default ON for the compiled TPU path: label agreement vs the f32-state
-# loop measured 1.0 at the bench config (v5e, 321^2 VOC, 10 iters;
-# scripts/exp_fused.py bf16s_agree) for +4% headline throughput.
+# Default ON for the compiled TPU path for +4% headline throughput;
+# label agreement vs the f32-state loop is re-measured every bench run
+# (bench.py extras.crf_state_bf16_label_agree — a valid A/B now that the
+# dtype is a STATIC ARG of _mean_field_mxu and participates in the jit
+# cache key; the round-4 module-global flip never retraced).
 # Interpret mode (CPU parity tests) always runs f32 state.
 # WSSS_TPU_CRF_STATE_F32=1 is the kill switch for A/B runs.
 _CRF_STATE_BF16 = not bool(os.environ.get('WSSS_TPU_CRF_STATE_F32'))
 # Spatial-downsampled bilateral message: when the spatial kernel is wide
 # (cells >= MXU_DS_MIN_SXY px) the pairwise message is smooth at the
-# pixel scale, so it is computed on a guide image resampled to 16-px
-# cells (sxy/16 downsample) and bilinearly upsampled back — splat/slice
-# MACs scale with the pixel count ((16/sxy)^2 of the work); the extra
-# resample variance is << sxy^2.  Unaries, the spatial-Gaussian message
-# and the softmax stay at full resolution.  Fidelity is pinned by
-# tests/test_mxu_grid.py::test_mxu_fidelity_vs_permutohedral.
-MXU_DS_CELL = 16
+# pixel scale, so it is computed on a guide image resampled to
+# MXU_DS_CELL-px cells (sxy/CELL downsample) and bilinearly upsampled
+# back — splat/slice MACs scale with the pixel count ((CELL/sxy)^2 of
+# the work); the extra resample variance is << sxy^2.  Unaries, the
+# spatial-Gaussian message and the softmax stay at full resolution.
+# CELL must be a multiple of 8 (Mosaic image-layout tiles).  8 measured
+# round 5: headline 95.7 -> 113.1 img/s vs CELL=16, label agreement
+# 0.9999 at the bench config and 0.978 vs 0.975 (BETTER) on the
+# adversarial fidelity toy (tests/test_mxu_grid.py::
+# test_spatial_downsampled_message_fidelity pins it >= full-res).
+MXU_DS_CELL = 8
 MXU_DS_MIN_SXY = 24
 _MXU_DS_DISABLED = bool(os.environ.get('WSSS_TPU_NO_SPATIAL_DS'))
 _MXU_FORCE_INTERPRET = False
@@ -530,16 +536,22 @@ def _mxu_ok(hw: Tuple[int, int], n_ch: int, config) -> bool:
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
                      'iterations', 'exclude_self', 'interpret',
-                     'cell_mult'))
+                     'cell_mult', 'state_bf16', 'ds_cell'))
 def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
                     bi_sxy, bi_srgb, bi_compat, iterations, exclude_self,
-                    interpret=False, cell_mult=1.0) -> Array:
+                    interpret=False, cell_mult=1.0, state_bf16=False,
+                    ds_cell=MXU_DS_CELL) -> Array:
     """Batched mean field over the MXU bilateral grid: the whole loop —
     Pallas splat/slice included — compiles into ONE program, so callers
     (methods/hsn.py, cli/sec_dsrg.py predict) batch entire splits
-    instead of chaining per-image dispatches at host level."""
+    instead of chaining per-image dispatches at host level.
+
+    state_bf16 / ds_cell are STATIC ARGS (not module globals) so A/B
+    flips retrace instead of silently reusing the cached program — the
+    round-4 bf16 'agreement 1.0' was measured against a stale trace."""
     c = probs.shape[-1]
     h, w = probs.shape[-3:-1]
+    imgs = imgs.astype(jnp.float32)    # uint8-transport callers
     U = -jnp.log(jnp.clip(probs.astype(jnp.float32), 1e-10, None))
     logits0 = -U - jnp.max(-U, axis=-1, keepdims=True)
     Q = jax.nn.softmax(logits0, axis=-1)
@@ -547,15 +559,15 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
     from wsss_tpu.ops.filters import resize_bilinear
 
     # spatially downsampled bilateral message (see MXU_DS_CELL note):
-    # the guide image resamples to MXU_DS_CELL-px cells so splat/slice
-    # work scales by (CELL/sxy)^2; messages bilinearly upsample back
+    # the guide image resamples to ds_cell-px cells so splat/slice
+    # work scales by (cell/sxy)^2; messages bilinearly upsample back
     use_ds = (not _MXU_DS_DISABLED and bi_sxy >= MXU_DS_MIN_SXY
               and min(h, w) >= 2 * bi_sxy)
     if use_ds:
-        f = bi_sxy / float(MXU_DS_CELL)
+        f = bi_sxy / float(ds_cell)
         hd, wd = max(int(round(h / f)), 8), max(int(round(w / f)), 8)
         img_g = resize_bilinear(imgs, (hd, wd))
-        sxy_g = float(MXU_DS_CELL)
+        sxy_g = float(ds_cell)
     else:
         img_g, sxy_g, (hd, wd) = imgs, bi_sxy, (h, w)
 
@@ -587,7 +599,7 @@ def _mean_field_mxu(probs: Array, imgs: Array, *, g_sxy, g_compat,
         ones = jnp.ones(Q.shape[:3] + (1,), jnp.float32)
         n_g = jax.lax.rsqrt(jnp.maximum(
             _gaussian_filter_raw(ones, g_sxy, axes=(1, 2)), 1e-20))
-    if _CRF_STATE_BF16 and not interpret:
+    if state_bf16 and not interpret:
         # normalizers computed in f32 above (rsqrt of tiny degrees),
         # then the loop state + constants drop to bf16
         sdt = jnp.bfloat16
@@ -660,7 +672,7 @@ def mxu_macs_estimate(hw: Tuple[int, int], n_ch: int, config) -> int:
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
                      'iterations', 'exclude_self', 'interpret',
-                     'cell_mult'))
+                     'cell_mult', 'state_bf16', 'ds_cell'))
 def _mean_field_mxu1(probs: Array, img: Array, **kw) -> Array:
     """Single-image MXU mean field: batch-dim expand and squeeze live
     INSIDE the jit.  Dispatching `_mean_field_mxu(probs[None], ...)[0]`
@@ -674,7 +686,7 @@ def _mean_field_mxu1(probs: Array, img: Array, **kw) -> Array:
     jax.jit,
     static_argnames=('g_sxy', 'g_compat', 'bi_sxy', 'bi_srgb', 'bi_compat',
                      'iterations', 'exclude_self', 'interpret',
-                     'cell_mult', 'k'))
+                     'cell_mult', 'state_bf16', 'ds_cell', 'k'))
 def _mean_field_mxu_at(probs: Array, imgs: Array, idx, k=1, **kw) -> Array:
     """A k-image chunk of a batched chain, selected by a TRACED index so
     the whole per-chunk step (slice included) is a single device
@@ -755,7 +767,8 @@ def mean_field_fused(probs: Array, img: Array, config,
               bi_sxy=config.bi_sxy, bi_srgb=config.bi_srgb,
               bi_compat=config.bi_compat, iterations=config.iterations,
               exclude_self=exclude_self,
-              interpret=_MXU_FORCE_INTERPRET, cell_mult=MXU_CELL_MULT)
+              interpret=_MXU_FORCE_INTERPRET, cell_mult=MXU_CELL_MULT,
+              state_bf16=_CRF_STATE_BF16, ds_cell=MXU_DS_CELL)
     if probs.ndim == 3:
         return _mean_field_mxu(probs[None], img[None], **kw)[0]
     b = probs.shape[0]
@@ -800,7 +813,8 @@ def mean_field(probs: Array, img: Array, config,
             for i in range(p_np.shape[0])])
     if _mxu_ok(probs.shape[-3:-1], probs.shape[-1], config):
         mkw = dict(kw, interpret=_MXU_FORCE_INTERPRET,
-                   cell_mult=MXU_CELL_MULT)
+                   cell_mult=MXU_CELL_MULT,
+                   state_bf16=_CRF_STATE_BF16, ds_cell=MXU_DS_CELL)
         if probs.ndim == 3:
             return _mean_field_mxu1(probs, img, **mkw)
         # chunk-of-2 dispatch chains: with the v2 corner-tiled kernels

@@ -123,6 +123,12 @@ def _record_last_good(result: dict) -> None:
 
 def main():
     import jax
+    # persistent executable cache: re-runs after a remote-compile stall
+    # skip straight past already-compiled programs (no-op if the backend
+    # does not support serialization)
+    jax.config.update('jax_compilation_cache_dir',
+                      '/root/repo/.jax_tpu_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     import jax.numpy as jnp
 
     from wsss_tpu.data import registry
@@ -179,15 +185,27 @@ def main():
                                              2)
         extras['mesh_overhead_factor'] = round(dt_mesh / dt, 3)
 
-        # host-resident batches: adds the per-batch device_put (on axon
-        # this includes the tunnel upload; on a real pod it's PCIe/DMA)
-        host_imgs = [np.asarray(im) for im in imgs]
+        # host-resident batches through the PRODUCTION loop
+        # (parallel/mesh.py mesh_batches): a prefetch thread runs the
+        # device_put (tunnel upload / PCIe DMA on a pod) while the
+        # previous batch computes, and images ship as uint8 (4x fewer
+        # bytes; byte-faithful to the reference's cv2.imread pipeline —
+        # the fused program's first op casts to f32 on device), so only
+        # the first upload and any un-hidden tail remain vs the
+        # device-resident headline
+        from wsss_tpu.parallel.mesh import mesh_batches
+        host_imgs = [np.clip(np.asarray(im), 0, 255).astype(np.uint8)
+                     for im in imgs] * 2   # 4 batches: amortize the
+        # pipeline-fill transient (the first upload is never hidden)
+        # the way a real split-length loop does
 
         def mesh_upload_path():
-            return [seg.segment_batch(im, mesh=mesh1)
-                    for im in host_imgs]
+            return [seg.segment_batch(ims, mesh=mesh1)[:b0]
+                    for _, (ims,), b0 in
+                    mesh_batches(mesh1, host_imgs, lambda b: (b,))]
         dt_up = _time(mesh_upload_path, iters=2, warmup=1)
-        extras['mesh_upload_factor'] = round(dt_up / dt, 3)
+        extras['mesh_upload_factor'] = round(
+            dt_up / (dt * len(host_imgs) / len(imgs)), 3)
     except Exception as e:             # pragma: no cover
         extras['mesh_overhead_factor'] = f'failed: {type(e).__name__}'
 
@@ -211,6 +229,27 @@ def main():
         return mean_field(probs0, img0, cfg)
     dt_crf = _time(crf_once, iters=4)
     extras['crf_imgs_per_sec'] = round(1.0 / dt_crf, 2)
+
+    # bf16-vs-f32 mean-field state A/B, recorded EVERY run (state dtype
+    # is a static arg of _mean_field_mxu since round 5, so flipping the
+    # module flag genuinely retraces — the round-4 flip reused the
+    # cached bf16 program and compared it against itself)
+    try:
+        from wsss_tpu.ops.crf import meanfield as _mf
+        if _mf._CRF_STATE_BF16 and _mf._mxu_ok(
+                (size, size), spec.n_seg_classes, cfg):
+            lab16 = jnp.argmax(crf_once(), -1)
+            _mf._CRF_STATE_BF16 = False
+            try:
+                dt_f32 = _time(crf_once, iters=4)
+                lab32 = jnp.argmax(crf_once(), -1)
+            finally:
+                _mf._CRF_STATE_BF16 = True
+            extras['crf_f32_state_imgs_per_sec'] = round(1.0 / dt_f32, 2)
+            extras['crf_state_bf16_label_agree'] = round(float(
+                jnp.mean((lab16 == lab32).astype(jnp.float32))), 5)
+    except Exception:                  # pragma: no cover
+        pass
 
     # hardware utilization of the CRF kernels: executed one-hot-matmul
     # MACs (NOT algorithmic flops — the factorization inflates work to

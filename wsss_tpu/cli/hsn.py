@@ -55,9 +55,13 @@ def main(argv=None):
             ds, batches = common.get_batches(args, split, size,
                                              with_gt=True, htt=htt)
             conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
-            for b in batches:
-                lm, lf = seg.segment_batch(b.images, mesh=mesh)
-                pred = np.asarray(lm if htt == 'morph' else lf)
+            from wsss_tpu.parallel.mesh import mesh_batches
+            # prefetch-placed batches: upload overlaps the previous
+            # batch's segment step (the tf.data prefetch role)
+            for b, (ims,), b0 in mesh_batches(mesh, batches,
+                                              lambda b: (b.images,)):
+                lm, lf = seg.segment_batch(ims, mesh=mesh)
+                pred = np.asarray(lm if htt == 'morph' else lf)[:b0]
                 if b.gt is not None:
                     import jax
                     up = np.asarray(jax.image.resize(
@@ -90,8 +94,10 @@ def main(argv=None):
     seg = hsn.HSNSegmenter(spec, fg, bg, model_type=args.model)
     ds, batches = common.get_batches(args, args.split, size, with_gt=True)
     conf = np.zeros((spec.n_seg_classes,) * 2, np.int64)
-    for b in batches:
-        pred = np.asarray(seg.segment_batch(b.images, mesh=mesh))
+    from wsss_tpu.parallel.mesh import mesh_batches
+    for b, (ims,), b0 in mesh_batches(mesh, batches,
+                                      lambda b: (b.images,)):
+        pred = np.asarray(seg.segment_batch(ims, mesh=mesh))[:b0]
         if b.gt is not None:
             if pred.shape[1:] != b.gt.shape[1:]:
                 # eval at native GT resolution (03c_hsn/demo.py:233-269

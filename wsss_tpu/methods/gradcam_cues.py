@@ -148,17 +148,17 @@ class VOCDeepGlobeCueGenerator:
         'data' axis so whole-split generation runs data-parallel across
         chips (the reference's per-GPU process spawn, SURVEY.md §2.8,
         as one program)."""
+        from wsss_tpu.parallel.mesh import mesh_batches
         out: Dict[str, np.ndarray] = {}
-        for b in batches:
+        for b, (imgs, tags), b0 in mesh_batches(
+                mesh, batches,
+                lambda b: (b.images.astype(np.float32),
+                           b.tags.astype(np.float32))):
             if mesh is not None:
-                from wsss_tpu.parallel.mesh import shard_batch
-                (imgs, tags), b0 = shard_batch(
-                    mesh, b.images.astype(np.float32),
-                    b.tags.astype(np.float32))
                 onehot, is_pass = self._batch_fn(imgs, tags)
                 onehot, is_pass = onehot[:b0], is_pass[:b0]
             else:
-                onehot, is_pass = self.generate_batch(b.images, b.tags)
+                onehot, is_pass = self.generate_batch(imgs, tags)
             artifacts.pack_cues(np.asarray(onehot),
                                 self.class_inds(np.asarray(is_pass)),
                                 list(b.indices), out)
@@ -264,17 +264,17 @@ class ADPCueGenerator:
             ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
         """mesh: optional jax.sharding.Mesh — shards each batch over the
         'data' axis (same contract as VOCDeepGlobeCueGenerator.run)."""
+        from wsss_tpu.parallel.mesh import mesh_batches
         out_m: Dict[str, np.ndarray] = {}
         out_f: Dict[str, np.ndarray] = {}
-        for b in batches:
+        for b, (imgs,), b0 in mesh_batches(
+                mesh, batches,
+                lambda b: (b.images.astype(np.float32),)):
             if mesh is not None:
-                from wsss_tpu.parallel.mesh import shard_batch
-                (imgs,), b0 = shard_batch(mesh,
-                                          b.images.astype(np.float32))
                 oh_m, oh_f, is_pass = self._batch_fn(imgs, None)
                 oh_m, oh_f, is_pass = oh_m[:b0], oh_f[:b0], is_pass[:b0]
             else:
-                oh_m, oh_f, is_pass = self.generate_batch(b.images)
+                oh_m, oh_f, is_pass = self.generate_batch(imgs)
             m_inds, f_inds = self.class_inds(np.asarray(is_pass))
             artifacts.pack_cues(np.asarray(oh_m), m_inds,
                                 list(b.indices), out_m)

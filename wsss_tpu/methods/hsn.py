@@ -43,6 +43,11 @@ def _fused_crf_argmax(probs_fn, cfg):
     config routes to the jit-composable MXU kernels."""
     @jax.jit
     def fused(imgs):
+        # uint8 transport lands here: callers may ship images as uint8
+        # (4x fewer upload bytes over the host link — and byte-faithful
+        # to the reference's cv2.imread uint8 pipeline); the f32 cast is
+        # the program's first fused op
+        imgs = imgs.astype(jnp.float32)
         probs = probs_fn(imgs)
         q = meanfield.mean_field_fused(probs, imgs, cfg)
         return jnp.argmax(q, axis=-1).astype(jnp.int32)
@@ -75,6 +80,7 @@ class HSNSegmenter:
 
         @jax.jit
         def probs_fn(imgs_raw):
+            imgs_raw = imgs_raw.astype(jnp.float32)   # uint8 transport
             x = norm(imgs_raw)
             scores, feats = fg.model.apply(fg.variables, x)
             is_pass = scores >= HSN_THRESHOLD
@@ -130,6 +136,8 @@ class HSNSegmenter:
                     self._mesh_fused[mesh] = _shard_mapped(self._fused,
                                                            mesh)
                 return self._mesh_fused[mesh](imgs)[:b0]
+            if imgs.dtype != jnp.float32:      # uint8 transport
+                imgs = imgs.astype(jnp.float32)
             probs = self._probs_fn(imgs)
             q = mean_field(probs, imgs, self._cfg)
             return jnp.argmax(q, axis=-1).astype(jnp.int32)[:b0]
@@ -171,6 +179,7 @@ class ADPHSNSegmenter:
 
         @jax.jit
         def batch_fn(imgs_raw):
+            imgs_raw = imgs_raw.astype(jnp.float32)   # uint8 transport
             x = norm(imgs_raw)
             scores, feats = handle.model.apply(handle.variables, x)
             is_pass = scores >= handle.thresholds[None]
@@ -202,6 +211,7 @@ class ADPHSNSegmenter:
                                            cfg_func)):
             @jax.jit
             def fused(imgs):
+                imgs = imgs.astype(jnp.float32)       # uint8 transport
                 cs_m, cs_f = batch_fn(imgs)
                 q_m = meanfield.mean_field_fused(cs_m, imgs, cfg_morph)
                 q_f = meanfield.mean_field_fused(cs_f, imgs, cfg_func)
@@ -227,6 +237,8 @@ class ADPHSNSegmenter:
                                                            mesh)
                 lm, lf = self._mesh_fused[mesh](imgs)
                 return lm[:b0], lf[:b0]
+            if imgs.dtype != jnp.float32:      # uint8 transport
+                imgs = imgs.astype(jnp.float32)
         else:
             imgs, b0 = jnp.asarray(imgs_raw, jnp.float32), None
             if self._fused is not None:

@@ -78,9 +78,67 @@ def shard_batch(mesh: Mesh, *arrays):
             out.append(a)
             continue
         a = np.asarray(a)
-        if a.dtype != np.float32:
+        # float64 only exists host-side (jax_enable_x64 is off); every
+        # other dtype ships as-is — the old unconditional float32 cast
+        # silently corrupted int/bool arrays (ADVICE r4)
+        if a.dtype == np.float64:
             a = a.astype(np.float32)
         if pad:
             a = np.concatenate([a, np.repeat(a[-1:], pad, 0)], 0)
         out.append(jax.device_put(a, sharding))
     return out, b0
+
+
+def prefetch_to_mesh(mesh: Mesh, batches, fields, depth: int = 2):
+    """Double-buffered host->device placement (the tf.data prefetch
+    role, SURVEY §2.8): a background thread runs shard_batch up to
+    `depth` batches ahead of the consumer, so the upload (tunnel/PCIe
+    DMA) overlaps the device compute of the previous batch instead of
+    serializing with it.
+
+    batches: any iterable; fields: callable(batch) -> tuple of host
+    arrays to place.  Yields (batch, placed_tuple, b0).
+    """
+    import queue
+    import threading
+
+    q: 'queue.Queue' = queue.Queue(maxsize=max(1, depth))
+    done = object()
+
+    def producer():
+        try:
+            for b in batches:
+                placed, b0 = shard_batch(mesh, *fields(b))
+                q.put((b, placed, b0))
+        except BaseException as e:       # surface in the consumer
+            q.put(e)
+            return
+        q.put(done)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
+def mesh_batches(mesh: Optional[Mesh], batches, fields, depth: int = 2):
+    """Uniform batch stream for the split-driver loops: yields
+    (batch, field_arrays, b0) whether or not a mesh is in play.
+
+    With a mesh the fields are shard_batch-placed by the prefetch
+    thread (upload overlaps the previous batch's compute); without one
+    they pass through as host arrays.  Downstream shard_batch calls see
+    the target sharding and skip re-placement, so the pre-placed arrays
+    flow straight into the sharded program.
+    """
+    if mesh is None:
+        for b in batches:
+            fs = tuple(fields(b))
+            yield b, fs, fs[0].shape[0]
+        return
+    yield from prefetch_to_mesh(mesh, batches, fields, depth=depth)

@@ -11,6 +11,16 @@ With no devkit under --data_root it runs end-to-end on synthetic data
 (smoke mode): every stage executes and the report is produced, but the
 published diffs are informative only (exit code stays 0).
 
+Numerics: the ±budget acceptance band is defended with the REFERENCE's
+end-to-end float32 numerics (02_cues/demo.py:104-123 runs f32 from
+predict through pydensecrf), so --numerics defaults to f32 — it pins
+WSSS_TPU_NO_BF16_INFER (models/backbones.py:infer_dtype) and the f32
+mean-field state (ops/crf/meanfield.py) for every stage.  --numerics
+bf16 opts into the TPU fast path (bf16 inference + bf16 CRF state,
+the bench headline) whose label agreement vs f32 is re-measured every
+bench run (bench.py extras.crf_state_bf16_label_agree); use it only to
+quantify the fast path's mIoU delta, not to certify parity.
+
     python -m wsss_tpu.cli.parity --data_root /path/to/devkits \\
         --datasets VOC2012 --models vgg16
 
@@ -196,9 +206,23 @@ def main(argv=None):
                    help='comma list from sec,dsrg,irnet,histosegnet')
     p.add_argument('--mesh', default='none',
                    help="forwarded to every stage ('auto' / N devices)")
+    p.add_argument('--numerics', default='f32',
+                   choices=['f32', 'bf16'],
+                   help='f32 (default): pin the reference\'s end-to-end '
+                        'float32 numerics for every stage — the budget '
+                        'is defended with these.  bf16: the TPU fast '
+                        'path (inference + CRF state), for measuring '
+                        'its mIoU delta.')
     p.add_argument('--eval_root', default='eval')
     p.add_argument('--verbose', action='store_true')
     a = p.parse_args(argv)
+    if a.numerics == 'f32':
+        # env for infer_dtype() (read at handle-build time) + the
+        # already-imported meanfield module global (read at call time)
+        os.environ['WSSS_TPU_NO_BF16_INFER'] = '1'
+        os.environ['WSSS_TPU_CRF_STATE_F32'] = '1'
+        from wsss_tpu.ops.crf import meanfield
+        meanfield._CRF_STATE_BF16 = False
     a.skip_methods = set(filter(None, a.skip_methods.lower().split(',')))
     if a.wsss_epochs == 0:
         a.wsss_epochs = 1 if not a.data_root else 0  # smoke: 1 epoch

@@ -68,13 +68,18 @@ def restore_checkpoint(root: str, target: Any = None,
 # ---------------------------------------------------------------------------
 
 def export_triplet(out_dir: str, sess_id: str, arch: Dict,
-                   params: Any, thresholds: Optional[np.ndarray] = None
-                   ) -> None:
+                   params: Any, thresholds: Optional[np.ndarray] = None,
+                   variables: Optional[Dict] = None) -> None:
     """Write {sess_id}.json (arch), .npz (flat params), .mat (thresholds).
 
     Mirrors the reference's model triplet contract; the .mat carries
     'optimalScoreThresh' exactly like 01_train/demo.py:189-192 so
     downstream stages (and the reference's own loaders) can read it.
+
+    variables: the full flax variables dict (params + batch_stats) —
+    when given, ALSO writes a Keras-2.2.4-layout {sess_id}.h5
+    (io/legacy.py write_keras_h5) so the reference's own Keras loaders
+    can consume our weights (two-way interop, 01_train/demo.py:63-66).
     """
     import scipy.io as sio
     os.makedirs(out_dir, exist_ok=True)
@@ -88,6 +93,9 @@ def export_triplet(out_dir: str, sess_id: str, arch: Dict,
     if thresholds is not None:
         sio.savemat(os.path.join(out_dir, sess_id + '.mat'),
                     {'optimalScoreThresh': np.asarray(thresholds)})
+    if variables is not None:
+        from wsss_tpu.io.legacy import write_keras_h5
+        write_keras_h5(os.path.join(out_dir, sess_id + '.h5'), variables)
 
 
 def import_triplet(out_dir: str, sess_id: str, params_template: Any

@@ -181,6 +181,75 @@ def _set_by_path(tree, path, value):
     return rec(tree, keys)
 
 
+def keras_weight_groups(variables: Dict
+                        ) -> List[Tuple[str, List[Tuple[str, Any]]]]:
+    """(layer_name, [(weight_name, array), ...]) in Keras layer order —
+    the exact inverse enumeration of load_keras_weights_into: per
+    Conv/Dense a [kernel, bias] group, per BatchNorm a [gamma, beta,
+    moving_mean, moving_variance] group, walked in model definition
+    order."""
+    params = variables['params']
+    stats = variables.get('batch_stats', {})
+    pslots = _conv_bn_dense_slots(params)
+    sslots = _bn_stat_slots(stats) if stats else []
+    groups: List[Tuple[str, List[Tuple[str, Any]]]] = []
+    counters = {'conv2d': 0, 'dense': 0, 'batch_normalization': 0}
+
+    def lname(kind: str) -> str:
+        counters[kind] += 1
+        return f'{kind}_{counters[kind]}'       # Keras 2.2.4 auto-naming
+
+    si = i = 0
+    while i < len(pslots):
+        path, leaf = pslots[i]
+        last = getattr(path[-1], 'key', str(path[-1]))
+        if last == 'scale':
+            name = lname('batch_normalization')
+            groups.append((name, [
+                (f'{name}/gamma:0', leaf),
+                (f'{name}/beta:0', pslots[i + 1][1]),
+                (f'{name}/moving_mean:0', sslots[si][1]),
+                (f'{name}/moving_variance:0', sslots[si + 1][1])]))
+            si += 2
+            i += 2
+            continue
+        kind = 'conv2d' if np.ndim(leaf) == 4 else 'dense'
+        name = lname(kind)
+        ws = [(f'{name}/kernel:0', leaf)]
+        i += 1
+        if i < len(pslots):
+            npath, nleaf = pslots[i]
+            nlast = getattr(npath[-1], 'key', str(npath[-1]))
+            if nlast == 'bias' and npath[:-1] == path[:-1]:
+                ws.append((f'{name}/bias:0', nleaf))
+                i += 1
+        groups.append((name, ws))
+    return groups
+
+
+def write_keras_h5(path: str, variables: Dict) -> None:
+    """Keras-2.2.4-layout `save_weights` h5 from flax variables — the
+    inverse of read_keras_h5, closing the weight-interop loop (we read
+    the reference's h5 via the bridge; this lets the reference's Keras
+    2.2.4 `model.load_weights(by_name=False)` read OURS, matching the
+    01_train/demo.py:63-66 artifact format): per-layer groups, root
+    'layer_names' attr, per-group 'weight_names' attrs, kernels in HWIO
+    (Keras == flax native layout, no transpose)."""
+    import h5py
+    groups = keras_weight_groups(variables)
+    with h5py.File(path, 'w') as f:
+        f.attrs['layer_names'] = np.array(
+            [g[0].encode() for g in groups])
+        f.attrs['backend'] = b'tensorflow'
+        f.attrs['keras_version'] = b'2.2.4'
+        for name, ws in groups:
+            g = f.create_group(name)
+            g.attrs['weight_names'] = np.array(
+                [wn.encode() for wn, _ in ws])
+            for wn, arr in ws:
+                g.create_dataset(wn, data=np.asarray(arr, np.float32))
+
+
 def load_thresholds_mat(path: str, num_classes: int,
                         clamp_min: float = 1.0 / 3.0) -> np.ndarray:
     """.mat 'optimalScoreThresh', clamped to >= 1/3 (common_cnn.py:39);

@@ -86,7 +86,11 @@ def main(argv=None):
     class_weights = None
     if not args.no_class_wgt:
         tags_all = expand_tags(ds.split_tags())
-        class_weights = len(ds) / (np.sum(tags_all, axis=0) + 1e-7)
+        # floor the count at 1: a class with zero positives otherwise
+        # gets weight n/1e-7 ~ 1e9 and its (all-negative) BCE term
+        # dominates every gradient (ADVICE r4); the reference divides by
+        # the raw count and simply never ships such a split
+        class_weights = len(ds) / np.maximum(np.sum(tags_all, axis=0), 1.0)
     trainer = ClassifierTrainer(model, lr=args.lr, schedule=args.schedule,
                                 class_weights=class_weights)
     norm = _normalizer(spec.norm_cues)
@@ -167,7 +171,12 @@ def main(argv=None):
         out_dir, sid,
         arch={'model': args.model, 'num_classes': n_cls, 'input': size,
               'dataset': args.dataset},
-        params=params, thresholds=thresholds)
+        params=params, thresholds=thresholds,
+        # full variables -> also a Keras-2.2.4-layout .h5, so the
+        # reference's own loaders can read our trained weights
+        # (01_train/demo.py:63-66 artifact contract, two-way)
+        variables={'params': jax.device_get(params),
+                   **jax.device_get(model_state)})
     print(f'exported triplet to {out_dir}; '
           f'mean val F1 {np.nanmean(m["f1"]):.4f}')
     return {'sid': sid, 'mean_f1': float(np.nanmean(m['f1']))}

@@ -22,6 +22,7 @@ that interop from scratch:
 """
 from __future__ import annotations
 
+import math
 import os
 import re
 import zipfile
@@ -94,6 +95,12 @@ def _cell_xml(ref: str, value: Cell) -> str:
     if isinstance(value, bool):
         value = int(value)
     if isinstance(value, (int, float)):
+        # numeric cells cannot hold NaN/inf in SpreadsheetML (<v>nan</v>
+        # is invalid and breaks Excel/pandas) — write a blank cell, the
+        # same thing df.to_excel does; ADP's no-epsilon IoU yields NaN
+        # for absent classes (03c_hsn/demo.py:233-238)
+        if isinstance(value, float) and not math.isfinite(value):
+            return ''
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return (f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
             f'{escape(str(value))}</t></is></c>')

@@ -132,3 +132,31 @@ def test_edge_displacement_inference_runs():
         disp_mean=np.zeros(2))
     assert edge.shape == (16, 16)   # m7 edge at /2
     assert disp.shape == (8, 8, 2)  # dp at /4
+
+
+def test_irn_trainer_resnet50_smoke():
+    """resnet50 IRN head (resnet50_irn.py:7-137 — legacy in the
+    reference's dispatch, func_sample.py:40-41): init + forward + one
+    training step produce finite losses and a frozen trunk."""
+    tr = irnet.IRNTrainer('resnet50', num_classes=4, crop_size=32,
+                          radius=3, max_step=4)
+    variables, opt_state = tr.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    lab = rng.integers(0, 2, (1, 8, 8)).astype(np.int64)
+    packs = [irnet.affinity_labels(l, tr.path_index, 4) for l in lab]
+    bg, fg, ng = (jnp.asarray(np.stack(z)) for z in zip(*packs))
+    step = tr.jitted_step()
+    variables, opt_state, parts = step(variables, opt_state, imgs,
+                                       bg, fg, ng)
+    assert np.isfinite(float(parts['total']))
+    # edge and disp both live on the /4 grid like vgg16 (the trainer's
+    # path-index gathers assume it)
+    edge, disp = tr.net.apply(variables, imgs)
+    assert edge.shape == (1, 8, 8, 1)
+    assert disp.shape == (1, 8, 8, 2)
+    # trunk frozen
+    p0, _ = tr.init(jax.random.PRNGKey(0))
+    t_new = jax.tree_util.tree_leaves(variables['params']['trunk'])
+    t_old = jax.tree_util.tree_leaves(p0['params']['trunk'])
+    assert all(np.allclose(a, b) for a, b in zip(t_new, t_old))

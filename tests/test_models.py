@@ -90,8 +90,10 @@ def test_resnet50_cam():
     logits = jax.jit(lambda v, x: m.apply(v, x))(vs, x)
     assert logits.shape == (1, 20)
     cam = jax.jit(lambda v, x: m.apply(v, x, method='cam'))(vs, x)
-    # conv1/pool (/4) + stage strides (2,2,2,1) -> /32 grid, stage4 dilated
-    assert cam.shape == (1, 2, 2, 20)
+    # reference strides (resnet50.py:61-69): conv1 /2 + pool /2 (=/4),
+    # layer1 stride 1, layers 2-3 stride 2, layer4 stride 1 dilated
+    # -> /16 grid (the resnet50_cam geometry)
+    assert cam.shape == (1, 4, 4, 20)
     assert float(cam.min()) >= 0.0
 
 

@@ -114,6 +114,39 @@ class IRNet(nn.Module):
                         name='fc_dp7a')(_crop_cat([dp1, dp2, up3]))
             disp = nn.Conv(2, (1, 1), use_bias=False, dtype=dt,
                            name='fc_dp7b')(h)
+        elif self.backbone == 'resnet50':
+            # resnet50_irn.py:7-137 — legacy variant (dead in the
+            # reference's dispatch, func_sample.py:40-41, kept for
+            # inventory parity).  Stages: stem /4 (64ch), layer1 /4
+            # (256), layer2 /8 (512), layer3 /16 (1024), layer4 /16
+            # (2048, stride-1 last stage, strides=[2,2,2,1]).
+            from wsss_tpu.models.resnet50 import ResNet50
+            feats = ResNet50(strides=(2, 2, 2, 1),
+                             dilations=(1, 1, 1, 1), dtype=dt,
+                             name='trunk')(x)
+            feats = [jax.lax.stop_gradient(f) for f in feats]
+            x1, x2, x3, x4, x5 = feats
+            # --- edge branch (resnet50_irn.py:23-51): /4 grid
+            e = [_GNConv(32, 4, dtype=dt, name='fc_edge1')(x1),
+                 _GNConv(32, 4, dtype=dt, name='fc_edge2')(x2),
+                 _GNConv(32, 4, up=2, dtype=dt, name='fc_edge3')(x3),
+                 _GNConv(32, 4, up=4, dtype=dt, name='fc_edge4')(x4),
+                 _GNConv(32, 4, up=4, dtype=dt, name='fc_edge5')(x5)]
+            edge = nn.Conv(1, (1, 1), use_bias=True, dtype=dt,
+                           name='fc_edge6')(_crop_cat(e))
+            # --- displacement branch (resnet50_irn.py:53-93): dp3-5 on
+            # /8, merged up to the /4 grid
+            dp1 = _GNConv(64, 8, dtype=dt, name='fc_dp1')(x1)
+            dp2 = _GNConv(128, 16, dtype=dt, name='fc_dp2')(x2)
+            dp3 = _GNConv(256, 16, dtype=dt, name='fc_dp3')(x3)
+            dp4 = _GNConv(256, 16, up=2, dtype=dt, name='fc_dp4')(x4)
+            dp5 = _GNConv(256, 16, up=2, dtype=dt, name='fc_dp5')(x5)
+            up3 = _GNConv(256, 16, up=2, dtype=dt,
+                          name='fc_dp6')(_crop_cat([dp3, dp4, dp5]))
+            h = _GNConv(256, 16, dtype=dt,
+                        name='fc_dp7a')(_crop_cat([dp1, dp2, up3]))
+            disp = nn.Conv(2, (1, 1), use_bias=False, dtype=dt,
+                           name='fc_dp7b')(h)
         elif self.backbone == 'm7':
             feats = M7Stages(batchnorm=self.batchnorm, dtype=dt,
                              name='trunk')(x, train=False)

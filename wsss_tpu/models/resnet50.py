@@ -68,7 +68,15 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Stages with configurable strides/dilations (resnet50.py:58-76)."""
+    """Stages with configurable strides/dilations (resnet50.py:58-76).
+
+    Reference stride semantics (resnet50.py:61-69): strides[0] is the
+    STEM conv1 stride, layer1 is always stride 1, layers 2-4 take
+    strides[1:]; within a stage only the FIRST block strides and only
+    the non-first blocks dilate (resnet50.py:85-88).  Returns 5 feature
+    maps — stem (post-maxpool, 64ch) then layer1..layer4 — the stage
+    list the IRN heads tap (resnet50_irn.py:15-19).
+    """
     strides: Sequence[int] = (2, 2, 2, 1)
     dilations: Sequence[int] = (1, 1, 1, 2)
     layers: Sequence[int] = (3, 4, 6, 3)
@@ -76,18 +84,21 @@ class ResNet50(nn.Module):
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, ...]:
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name='conv1')(x)
+        s0 = self.strides[0]
+        h = nn.Conv(64, (7, 7), strides=(s0, s0), padding=3,
+                    use_bias=False, dtype=self.dtype, name='conv1')(x)
         h = FixedBatchNorm(64, name='bn1')(h)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1),) * 2)
-        feats = []
+        feats = [h]                                   # stem stage1
         planes = (64, 128, 256, 512)
+        stage_strides = (1,) + tuple(self.strides[1:])
         for si, (n, p, st, dil) in enumerate(zip(
-                self.layers, planes, self.strides, self.dilations)):
+                self.layers, planes, stage_strides, self.dilations)):
             for bi in range(n):
                 h = Bottleneck(p, stride=st if bi == 0 else 1,
-                               dilation=dil, downsample=bi == 0,
+                               dilation=1 if bi == 0 else dil,
+                               downsample=bi == 0,
                                dtype=self.dtype,
                                name=f'layer{si + 1}_b{bi}')(h)
             feats.append(h)

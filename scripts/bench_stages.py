@@ -22,6 +22,9 @@ import numpy as np
 
 _RESULTS = {}        # name -> images/sec/chip
 _EXTRAS = {}         # non-throughput values (own units)
+_INCREMENTAL = False  # write the sidecar after every stage (real runs):
+                      # the axon tunnel can die mid-suite; keep progress
+_ONLY = None          # optional substring filter (--only) for re-runs
 
 
 def _sync(out):
@@ -32,6 +35,8 @@ def _sync(out):
 
 
 def bench(name, fn, n_items, iters=5, warmup=1):
+    if _ONLY and _ONLY not in name:
+        return
     for _ in range(warmup):
         out = fn()
     _sync(out)
@@ -43,7 +48,9 @@ def bench(name, fn, n_items, iters=5, warmup=1):
     _RESULTS[name] = round(n_items / dt, 2)
     print(json.dumps({'metric': name,
                       'value': round(n_items / dt, 2),
-                      'unit': 'images/sec/chip'}))
+                      'unit': 'images/sec/chip'}), flush=True)
+    if _INCREMENTAL:
+        _write_sidecar()
 
 
 def _write_sidecar():
@@ -73,8 +80,22 @@ def main(argv=None):
     ap.add_argument('--smoke', action='store_true',
                     help='1-iteration timing + skip the 2448^2 '
                          'DeepGlobe bench (CPU smoke run)')
+    ap.add_argument('--only', default=None,
+                    help='run only stages whose name contains this '
+                         'substring; merges into the existing sidecar')
     a = ap.parse_args(argv)
     smoke_kw = dict(iters=1, warmup=1) if a.smoke else {}
+    global _INCREMENTAL, _ONLY
+    _ONLY = a.only
+    _INCREMENTAL = not a.smoke
+    if a.only:   # partial re-run: keep the other stages' numbers
+        try:
+            root = pathlib.Path(__file__).resolve().parent.parent
+            old = json.loads((root / 'BENCH_STAGES.json').read_text())
+            _RESULTS.update(old.get('stages', {}))
+            _EXTRAS.update(old.get('extras', {}))
+        except Exception:
+            pass
 
     spec = registry.get('VOC2012')
     size = a.size

@@ -39,13 +39,15 @@ def main():
                            crop_size=size, radius=10)
     pidx = itr.path_index
     grid = itr.grid
+    gather_idx = pidx.path_gather_indices(grid)
+    m_pairs = int(gather_idx.shape[2])
     print(json.dumps({
         'grid': grid, 'P': int(pidx.search_dst.shape[0]),
-        'L': int(pidx.paths.shape[1]),
-        'M': int(itr.gather_idx.shape[2]),
+        'L': int(pidx.paths.shape[1]), 'M': m_pairs,
+        'O': int(pidx.offset_membership()[0].shape[0]),
         'BPLM_mb': round(b * pidx.search_dst.shape[0]
-                         * pidx.paths.shape[1]
-                         * itr.gather_idx.shape[2] * 4 / 2**20, 1)}),
+                         * pidx.paths.shape[1] * m_pairs * 4 / 2**20,
+                         1)}),
         flush=True)
 
     ivars, ios = itr.init(jax.random.PRNGKey(0))
@@ -81,13 +83,21 @@ def main():
     # 5. to_affinity alone (fwd): gather [B,P,L,M] + max over L
     edge = jnp.asarray(rng.uniform(0, 1, (b, grid[0] * grid[1]))
                        .astype(np.float32))
-    taff = jax.jit(lambda e: random_walk.to_affinity(e, itr.gather_idx))
+    taff = jax.jit(lambda e: random_walk.to_affinity(e, gather_idx))
     timeit('to_affinity_fwd', lambda: taff(edge), b)
 
     # 6. to_affinity fwd+bwd (the gather's scatter-add transpose)
     gaff = jax.jit(jax.grad(lambda e: jnp.sum(
-        random_walk.to_affinity(e, itr.gather_idx) * fg[:, :, :])))
+        random_walk.to_affinity(e, gather_idx) * fg[:, :, :])))
     timeit('to_affinity_fwd_bwd', lambda: gaff(edge), b)
+
+    # 6b. the sliced reformulation (what the trainer now runs)
+    edge2d = edge.reshape(b, *grid)
+    tslc = jax.jit(lambda e: random_walk.to_affinity_sliced(e, pidx))
+    timeit('to_affinity_sliced_fwd', lambda: tslc(edge2d), b)
+    gslc = jax.jit(jax.grad(lambda e: jnp.sum(
+        random_walk.to_affinity_sliced(e, pidx) * fg)))
+    timeit('to_affinity_sliced_fwd_bwd', lambda: gslc(edge2d), b)
 
     # 7. pair displacement fwd+bwd
     disp = jnp.asarray(rng.normal(0, 1, (b, grid[0], grid[1], 2))

@@ -84,3 +84,33 @@ def test_to_affinity_max_along_path():
     m = (y - 0) * (w - 2 * rf) + (x - rf)
     vals = [edge[0, (y + py) * w + (x + px)] for py, px in p.paths[pi]]
     np.testing.assert_allclose(aff[0, pi, m], 1 - max(vals), rtol=1e-6)
+
+
+def test_to_affinity_sliced_matches_gather():
+    """to_affinity_sliced (static shifted slices + membership-masked
+    maximum tree — the TPU-fast form the IRN trainer runs) must equal
+    the gather form in values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+    from wsss_tpu.ops.random_walk import to_affinity_sliced
+
+    h, w, b = 9, 11, 2
+    p = PathIndex(radius=4)
+    g = p.path_gather_indices((h, w))
+    rng = np.random.default_rng(3)
+    edge2d = rng.random((b, h, w)).astype(np.float32)
+
+    want = np.asarray(to_affinity(
+        jnp.asarray(edge2d.reshape(b, -1)), g))
+    got = np.asarray(to_affinity_sliced(jnp.asarray(edge2d), p))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # gradients: weight by a fixed random cotangent, compare pixelwise
+    wgt = jnp.asarray(rng.random(want.shape).astype(np.float32))
+    g_gather = jax.grad(lambda e: jnp.sum(
+        to_affinity(e.reshape(b, -1), g) * wgt))(jnp.asarray(edge2d))
+    g_sliced = jax.grad(lambda e: jnp.sum(
+        to_affinity_sliced(e, p) * wgt))(jnp.asarray(edge2d))
+    # f32 accumulation order differs (many paths sum into one pixel)
+    np.testing.assert_allclose(np.asarray(g_sliced),
+                               np.asarray(g_gather), atol=1e-4)

@@ -32,7 +32,7 @@ from wsss_tpu.ops.crf import config as crf_config
 from wsss_tpu.ops.crf.meanfield import crf_label_refine
 from wsss_tpu.ops.filters import resize_bilinear
 from wsss_tpu.ops.random_walk import PathIndex, propagate_to_edge, \
-    to_affinity
+    to_affinity_sliced
 from wsss_tpu.train.schedules import poly_decay
 
 
@@ -363,7 +363,6 @@ class IRNTrainer:
         radius = min(radius, max(2, min(grid) // 2))
         self.path_index = PathIndex(radius)
         self.grid = grid
-        self.gather_idx = self.path_index.path_gather_indices(grid)
         self.disp_target = jnp.asarray(
             self.path_index.search_dst.T[None, :, :, None],
             jnp.float32)  # [1,2,P,1]
@@ -413,8 +412,18 @@ class IRNTrainer:
         """train_irn.py:112-125."""
         edge, disp = self.net.apply(variables, imgs_norm)
         b = edge.shape[0]
-        edge_flat = jax.nn.sigmoid(edge[..., 0]).reshape(b, -1)
-        aff = to_affinity(edge_flat, self.gather_idx)   # [B,P,M]
+        # Align the edge map to the affinity-label grid (crop/4).  The
+        # reference instead flat-indexes whatever grid the edge head
+        # emits with crop/4-grid indices (m7_irn.py:142-155 +
+        # train_irn.py:16) — for M7's /2-grid edge head that aliases
+        # the top rows of the map; we resize instead (documented
+        # deviation, PARITY.md).  VGG16/resnet50 emit /4 directly.
+        if edge.shape[1:3] != self.grid:
+            edge = resize_bilinear(edge, self.grid)
+        # sliced path-max: the flat [B,P,L,M] gather was 184 of the
+        # step's 210 ms on a v5e (scripts/profile_irn_step.py, round 5)
+        aff = to_affinity_sliced(jax.nn.sigmoid(edge[..., 0]),
+                                 self.path_index)       # [B,P,M]
         pos_aff_loss = -jnp.log(aff + 1e-5)
         neg_aff_loss = -jnp.log(1.0 + 1e-5 - aff)
         pair_disp = self._pair_displacement(disp)       # [B,2,P,M]

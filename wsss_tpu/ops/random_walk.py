@@ -88,6 +88,21 @@ class PathIndex:
             for dy, dx in self.search_dst])
         return src, dst
 
+    def offset_membership(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(offsets [O,2], mem [O,P] bool): the unique path-pixel
+        offsets across all paths, and which paths contain each offset.
+        Endpoint padding collapses (membership is a set), so O is the
+        half-disk pixel count, independent of path length L."""
+        uniq = {}
+        for p in range(self.paths.shape[0]):
+            for dy, dx in map(tuple, self.paths[p]):
+                uniq.setdefault((dy, dx), set()).add(p)
+        offsets = np.asarray(sorted(uniq), np.int32)
+        mem = np.zeros((len(offsets), self.paths.shape[0]), bool)
+        for o, key in enumerate(map(tuple, offsets)):
+            mem[o, sorted(uniq[key])] = True
+        return offsets, mem
+
     def path_gather_indices(self, hw: Tuple[int, int]) -> np.ndarray:
         """[P, L, M] flat edge-map indices of every path pixel for every
         valid source position (to_affinity's gather table)."""
@@ -114,6 +129,43 @@ def to_affinity(edge_flat: Array, gather_idx) -> Array:
     g = jnp.asarray(gather_idx)
     vals = edge_flat[:, g]              # [B,P,L,M]
     return 1.0 - jnp.max(vals, axis=2)
+
+
+def to_affinity_sliced(edge2d: Array, pidx: PathIndex) -> Array:
+    """:func:`to_affinity` as static shifted slices — the TPU-fast form.
+
+    The [B,P,L,M] flat gather (and its scatter-add transpose in the
+    backward pass) dominates the IRN train step: 449 MB of arbitrary-
+    index traffic, 184 of the step's 210 ms measured on a v5e chip
+    (scripts/profile_irn_step.py, round 5).  But every path pixel is a
+    pure TRANSLATION of the source grid, so max-over-path is a chain of
+    `jnp.maximum` over statically shifted crops masked by per-path
+    membership — elementwise ops XLA fuses into one pass, whose
+    transpose is also elementwise (no scatter).  Tie-handling in the
+    VJP differs only on exact float ties between DISTINCT pixels
+    (measure-zero; endpoint-padding duplicates collapse into set
+    membership here, and their gather-side split gradients scatter back
+    to the same pixel anyway).
+
+    edge2d: [B, H, W] edge values in [0,1].  Returns [B,P,M] equal to
+    ``to_affinity(edge2d.reshape(B,-1), pidx.path_gather_indices((H,W)))``.
+    """
+    b, h, w = edge2d.shape
+    rf = pidx.radius_floor
+    ch, cw = h - rf, w - 2 * rf
+    offsets, mem = pidx.offset_membership()
+    vals = []
+    for (dy, dx), m in zip(offsets, mem):
+        sl = edge2d[:, dy:dy + ch, rf + dx:rf + dx + cw]
+        vals.append(jnp.where(jnp.asarray(m)[None, :, None],
+                              sl.reshape(b, 1, ch * cw), -jnp.inf))
+    # balanced tree: log-depth maximum chain (better ILP than linear)
+    while len(vals) > 1:
+        nxt = [jnp.maximum(a, bb) for a, bb in zip(vals[::2], vals[1::2])]
+        if len(vals) % 2:
+            nxt.append(vals[-1])
+        vals = nxt
+    return 1.0 - vals[0]
 
 
 def _transition_matrix(edge: Array, hw, beta: float, radius: int
